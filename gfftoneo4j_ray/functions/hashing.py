@@ -1,0 +1,71 @@
+"""Stable content-derived identifiers.
+
+Design rule carried from the reference (SURVEY.md §1.3): IDs are
+semantic, never positional. The reference keys groups on
+attribute-derived IDs with equality overridden to the ID alone
+(reference: src/main/scala/corwur/genereader/GeneReader.scala:19-37);
+its Neo4j-assigned insertion-counter node ids
+(neo4j/Neo4JUtils.scala:35-39) are exactly what we must NOT reproduce.
+Every node id here is a pure function of content, so output is
+identical across partition counts, task order, and cluster size.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+
+def content_id(*parts: str) -> str:
+    """sha1 hex of '\\x1f'-joined parts — the canonical node-id function."""
+    return hashlib.sha1("\x1f".join(parts).encode("utf-8")).hexdigest()
+
+
+def entity_node_id(canonical_key: str) -> str:
+    return content_id("entity", canonical_key)
+
+
+def page_node_id(url: str) -> str:
+    return content_id("page", url)
+
+
+def alias_node_id(surface: str) -> str:
+    return content_id("alias", surface)
+
+
+def stable_hash64(values, seed: int = 0) -> np.ndarray:
+    """Vectorized stable 64-bit hash of a list/array of strings.
+
+    Used for salting / bucketing shuffle keys; stable across processes
+    (unlike Python's builtin ``hash``, which is PYTHONHASHSEED-salted).
+    Implemented with pandas' siphash (fixed key → deterministic),
+    vectorized in C — no per-row Python in hot stages.
+    """
+    import pandas as pd
+
+    s = pd.Series(values, dtype="object")
+    h = pd.util.hash_pandas_object(s, index=False, hash_key="raykg-stable-64b")
+    out = h.to_numpy(dtype=np.uint64, copy=True)
+    if seed:
+        out ^= np.uint64(0x9E3779B97F4A7C15 * (seed & 0xFFFF) & 0xFFFFFFFFFFFFFFFF)
+    return out
+
+
+def fingerprint64(text: str, window: int = 8) -> int:
+    """Deterministic rolling-hash document fingerprint (FIXTURES: doc
+    fingerprinting). Polynomial rolling hash over byte windows, XOR-folded —
+    a cheap content signature, stable across runs/platforms."""
+    data = text.encode("utf-8")
+    if not data:
+        return 0
+    B, M = 131, (1 << 61) - 1
+    acc = 0
+    h = 0
+    powB = pow(B, window - 1, M)
+    for i, b in enumerate(data):
+        h = (h * B + b) % M
+        if i >= window - 1:
+            acc ^= h
+            h = (h - data[i - window + 1] * powB) % M
+    return acc & 0x7FFF_FFFF_FFFF_FFFF

@@ -1,0 +1,68 @@
+"""Stage 1: html → text extraction as a stateless ``map_batches`` transform.
+
+Reference anchor: the line-parse + header-drop head of the pipeline
+(reference: src/main/scala/corwur/Application.scala:42-50). Unlike the
+reference (fail-fast throw on a bad line), undecodable pages are
+quarantined with a reason string — the Writer-monad analogue
+(genereader/Writer.scala:3-19) — and counted in lineage.
+
+Scale notes:
+  * Zero-copy Arrow in; the per-row regex work is unavoidable (HTML is
+    a per-document payload), but all string ops are C-level.
+  * The ``html`` binary column is DROPPED here — it must not travel
+    past this stage (object-store pressure at 100 TB; SURVEY.md §4.2).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..functions.text import extract_text_safe
+
+OUT_COLUMNS = ["url", "warc_ts", "text", "lang", "quarantine_reason"]
+
+
+def extract_text_batch(batch: pa.Table) -> pa.Table:
+    """(url, warc_ts, html, ...) → (url, warc_ts, text, lang, quarantine_reason).
+
+    ``text`` is the extracted article text (byte-identical per url on
+    well-formed input); ``quarantine_reason`` is null for clean rows.
+    """
+    htmls = batch.column("html").to_pylist()
+    texts: list[str] = []
+    reasons: list[str | None] = []
+    for h in htmls:
+        t, r = extract_text_safe(h)
+        texts.append(t)
+        reasons.append(r)
+    return pa.table({
+        "url": batch.column("url"),
+        "warc_ts": batch.column("warc_ts"),
+        "text": pa.array(texts, pa.string()),
+        "lang": batch.column("lang"),
+        "quarantine_reason": pa.array(reasons, pa.string()),
+    })
+
+
+def apply(pages, batch_size: int = 1024):
+    """pages Dataset → extracted Dataset (html dropped, quarantine tagged)."""
+    return pages.map_batches(extract_text_batch, batch_format="pyarrow",
+                             batch_size=batch_size)
+
+
+def split_quarantine(extracted):
+    """(clean_ds, quarantine_ds) — quarantine rows carry their reason.
+
+    Two lazy filters over the same upstream; Ray Data will recompute the
+    cheap filter per consumer, which beats materializing at scale."""
+    import pyarrow.compute as pc
+
+    clean = extracted.map_batches(
+        lambda t: t.filter(pc.is_null(t["quarantine_reason"])).drop_columns(
+            ["quarantine_reason"]),
+        batch_format="pyarrow")
+    quar = extracted.map_batches(
+        lambda t: t.filter(pc.is_valid(t["quarantine_reason"])).select(
+            ["url", "quarantine_reason"]),
+        batch_format="pyarrow")
+    return clean, quar

@@ -1,0 +1,77 @@
+"""Triple extraction: oracle grammar + distributed actor pool P/R.
+
+Reference anchors: exon filter+project GeneReader.scala:65-73 (the
+candidate-fact extraction), GffParserSpec-style unit fixtures."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow.parquet as pq
+
+from gfftoneo4j_ray.stages.triples import TripleExtractor, extract_triples, split_sentences
+
+
+def test_grammar_basics():
+    t = extract_triples("Ada Lovelace founded Acme Corp.")
+    assert t == [(0, "ada lovelace", "founded", "acme corp")]
+    t = extract_triples("Grace Hopper works at Globex Labs. Filler here. Turing wrote Patterns Of Scale.")
+    assert (0, "grace hopper", "works_at", "globex labs") in t
+    assert (2, "turing", "wrote", "patterns of scale") in t
+
+
+def test_grammar_negative_and_edge():
+    assert extract_triples("the lowercase subject founded acme.") == []
+    assert extract_triples("") == []
+    assert extract_triples('He said "well; that depends" and\tleft.') == []
+    # multi-word predicate, no-dot initial alias
+    t = extract_triples("A Lovelace was born in Kyoto.")
+    assert t == [(0, "a lovelace", "was_born_in", "kyoto")]
+
+
+def test_sentence_split_paragraph_aware():
+    s = split_sentences("One two. Three!\n\nFour five? Six.")
+    assert s == ["One two.", "Three!", "Four five?", "Six."]
+
+
+def test_oracle_matches_generator_golden(tiny_corpus):
+    pages = pq.read_table(f"{tiny_corpus}/pages").to_pylist()
+    want = pq.read_table(f"{tiny_corpus}/triples_expected.parquet").to_pandas()
+    got_rows = []
+    for r in pages:
+        if r["lang"] != "en":
+            continue
+        for idx, s, p, o in extract_triples(r["text"]):
+            got_rows.append((r["url"], idx, s, p, o))
+    got = pd.DataFrame(got_rows, columns=["url", "sent_idx", "subj", "pred", "obj"])
+    wkeys = set(map(tuple, want.itertuples(index=False)))
+    gkeys = set(map(tuple, got.astype({"sent_idx": "int64"}).itertuples(index=False)))
+    # precision and recall vs generator ground truth (target ≥0.95; the
+    # grammar is the generator's inverse so this is exact)
+    assert wkeys and gkeys == wkeys
+
+
+def test_distributed_pr_vs_oracle(ray_session, small_corpus):
+    import ray
+
+    from gfftoneo4j_ray.stages import extract_text, triples
+
+    pages = ray.data.read_parquet(f"{small_corpus}/pages")
+    clean, _ = extract_text.split_quarantine(extract_text.apply(pages))
+    tds = triples.apply(clean, concurrency=2, batch_size=128)
+    got = tds.to_pandas()[["url", "sent_idx", "subj", "pred", "obj"]]
+    want = pq.read_table(f"{small_corpus}/triples_expected.parquet").to_pandas()
+    g = set(map(tuple, got.astype({"sent_idx": "int32"}).itertuples(index=False)))
+    w = set(map(tuple, want.itertuples(index=False)))
+    prec = len(g & w) / len(g)
+    rec = len(g & w) / len(w)
+    assert prec >= 0.95 and rec >= 0.95
+    assert prec == 1.0 and rec == 1.0  # exact by construction
+
+
+def test_actor_smoke():
+    import pyarrow as pa
+
+    ex = TripleExtractor()
+    out = ex(pa.table({"url": ["u1"], "text": ["Ada Lovelace founded Acme Corp."]}))
+    assert out.num_rows == 1
+    assert out.column("pred").to_pylist() == ["founded"]
