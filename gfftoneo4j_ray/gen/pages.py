@@ -98,11 +98,12 @@ class Entity:
 
 
 def _misspell(name: str) -> str:
-    """Deterministic misspelling: drop the 3rd character of the last token."""
+    """Deterministic misspelling: drop the 3rd char of the longest token
+    (ties → first token), tokens shorter than 4 chars left alone."""
     toks = name.split(" ")
-    last = toks[-1]
-    if len(last) > 4:
-        toks[-1] = last[:2] + last[3:]
+    j = max(range(len(toks)), key=lambda k: len(toks[k]))
+    if len(toks[j]) >= 4:
+        toks[j] = toks[j][:2] + toks[j][3:]
     return " ".join(toks)
 
 
@@ -346,7 +347,7 @@ def write_corpus(out_dir: str, n: int, seed: int = SEED, shard_rows: int = 5000)
     import pyarrow.parquet as pq
 
     marker = os.path.join(out_dir, "_DONE")
-    tag = f"{n}:{seed}:{shard_rows}:v3"
+    tag = f"{n}:{seed}:{shard_rows}:v4"
     if os.path.exists(marker):
         with open(marker) as f:
             if f.read().strip() == tag:

@@ -1,0 +1,189 @@
+"""Stage 4: entity canonicalization — two-phase shuffle + union-find merge.
+
+The central wide operation of the engine, mirroring the reference's
+two chained groupBy-parents rollups
+(reference: src/main/scala/corwur/genereader/GeneReader.scala:75-135)
+and its transitive parent chase (:165-178), re-expressed for scale:
+
+phase 1 (map side, "salted" by physical batch): every batch emits its
+    DISTINCT (surface → entity_key) alias pairs — a per-batch combiner,
+    so shuffle volume is bounded by (distinct pairs × batches), not by
+    mention count. Sound because union-find merge is associative and
+    commutative (the reference's own monoid shape,
+    GeneReader.scala:44-45).
+phase 2 (shuffle): global exact dedup of pairs via groupby on the pair
+    key, then per-partition union-find producing compressed
+    (member → local_root) edges — `map_groups` over hash partitions.
+phase 3 (driver, small): union the per-partition representative edges
+    — the cross-partition resolution pass required because a partition
+    only sees its own pairs (the reference's per-seqname index
+    blindness, GeneReader.scala:232, fixed per SURVEY.md §4.3). The
+    edge count here is ≤ distinct pairs (dictionary-bounded at web
+    scale: aliases, not mentions), so driver materialization is safe
+    by construction; NIL surfaces never produce pairs and stay out of
+    this pass entirely.
+phase 4 (map side): broadcast the surface→canonical mapping
+    (``ray.put``) and tag every linked triple with canonical entity
+    ids — deterministic ``sha1('entity', canonical_key)`` per §1.3.
+
+Representative = lexicographic-min resolved entity_key in the
+component (falling back to min surface for all-NIL components) —
+order-independent, hence identical output across num_cpus / partition
+counts (tested in test_determinism.py).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.hashing import entity_node_id
+from ..state.unionfind import UnionFind
+
+# node-key prefixes inside the union-find: "s:" = surface form, "e:" = entity key
+_S, _E = "s:", "e:"
+
+
+def emit_pairs_batch(batch: pa.Table) -> pa.Table:
+    """Per-batch combiner: distinct (surface, entity_key) edges of this batch."""
+    pairs: set[tuple[str, str]] = set()
+    for side in ("subj", "obj"):
+        surf = batch.column(side).to_pylist()
+        keys = batch.column(f"{side}_key").to_pylist()
+        res = batch.column(f"{side}_resolved").to_pylist()
+        for s, k, r in zip(surf, keys, res):
+            if r:
+                pairs.add((s, k))
+    if pairs:
+        a, b = zip(*sorted(pairs))
+    else:
+        a, b = (), ()
+    return pa.table({"surface": pa.array(list(a), pa.string()),
+                     "entity_key": pa.array(list(b), pa.string())})
+
+
+def _local_unionfind(group: pa.Table) -> pa.Table:
+    """Per-partition union-find → compressed (member, root) edges."""
+    uf = UnionFind()
+    for s, k in zip(group.column("surface").to_pylist(),
+                    group.column("entity_key").to_pylist()):
+        uf.union(_S + s, _E + k)
+    m = uf.mapping()
+    members = sorted(m)
+    return pa.table({"member": pa.array(members, pa.string()),
+                     "root": pa.array([m[x] for x in members], pa.string())})
+
+
+def build_canonical_mapping(linked_ds, num_partitions: int = 64) -> dict:
+    """linked Dataset → {surface: (canonical_key, entity_type?, node_id)}.
+
+    Phases 1-3 above. Returns the driver-side mapping (bounded by the
+    alias-pair universe, NOT by corpus size — see module docstring).
+    """
+    pairs = linked_ds.map_batches(emit_pairs_batch, batch_format="pyarrow")
+    # phase 2: exact global dedup; groupby("surface") hash-partitions the
+    # pair space so each surface's edges land together, then local UF
+    # compresses each partition to (member, root) edges.
+    deduped = pairs.groupby("surface").map_groups(
+        lambda g: _distinct_pairs(g), batch_format="pyarrow")
+    local = deduped.map_batches(_local_unionfind, batch_format="pyarrow",
+                                batch_size=None)
+    # phase 3: driver merge over compressed representative edges (small)
+    uf = UnionFind()
+    for b in local.iter_batches(batch_format="pyarrow", batch_size=65536):
+        for m, r in zip(b.column("member").to_pylist(),
+                        b.column("root").to_pylist()):
+            uf.union(m, r)
+    mapping: dict[str, tuple[str, str]] = {}
+    for root, members in uf.groups().items():
+        ekeys = sorted(x[2:] for x in members if x.startswith(_E))
+        surfaces = [x[2:] for x in members if x.startswith(_S)]
+        canon = ekeys[0] if ekeys else min(surfaces)
+        nid = entity_node_id(canon)
+        for s in surfaces:
+            mapping[s] = (canon, nid)
+        for k in ekeys:  # entity keys are themselves valid surfaces
+            mapping.setdefault(k, (canon, nid))
+    return mapping
+
+
+def _distinct_pairs(group: pa.Table) -> pa.Table:
+    """Exact dedup of (surface, entity_key) rows within a hash partition."""
+    return group.group_by(["surface", "entity_key"]).aggregate([]).sort_by(
+        [("surface", "ascending"), ("entity_key", "ascending")])
+
+
+class ApplyCanonical:
+    """Actor-pool worker: tag linked triples with canonical ids.
+
+    NIL mentions (never in the mapping) canonicalize to themselves:
+    canon = surface, node_id = sha1('entity', surface)."""
+
+    def __init__(self, map_ref=None, mapping: dict | None = None) -> None:
+        import ray
+
+        self.mapping = mapping if mapping is not None else ray.get(map_ref)
+
+    def _canon(self, surface: str) -> tuple[str, str]:
+        hit = self.mapping.get(surface)
+        if hit is not None:
+            return hit
+        return surface, entity_node_id(surface)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = batch
+        for side in ("subj", "obj"):
+            surfs = batch.column(side).to_pylist()
+            canon, nid = [], []
+            for s in surfs:
+                c, i = self._canon(s)
+                canon.append(c)
+                nid.append(i)
+            out = (out.append_column(f"{side}_canon", pa.array(canon, pa.string()))
+                      .append_column(f"{side}_node_id", pa.array(nid, pa.string())))
+        return out
+
+
+def apply(linked_ds, mapping: dict, concurrency: int | tuple = (1, 4),
+          batch_size: int = 4096):
+    """linked Dataset + mapping → canonical Dataset (broadcast mapping)."""
+    import ray
+
+    map_ref = ray.put(mapping)
+    return linked_ds.map_batches(
+        ApplyCanonical, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, fn_constructor_kwargs={"map_ref": map_ref})
+
+
+# ---------------------------------------------------------------------------
+# Salted two-phase counting (hot-key skew handling, SURVEY.md §4.2)
+# ---------------------------------------------------------------------------
+
+def aggregate_counts(ds, key: str, salt_buckets: int | None = None,
+                     count_alias: str = "n"):
+    """Count rows per ``key`` with optional salted two-phase aggregation.
+
+    ``salt_buckets=None`` → plain groupby-count (one shuffle of all rows).
+    ``salt_buckets=S`` → per-batch partial counts on (key, salt) where
+    salt = stable_hash(key ⊕ row) % S, then a final groupby(key) over the
+    tiny partials — the hot-key (Zipfian entity) path. Counting is
+    associative, so salted == unsalted exactly (tested)."""
+    from ray.data.aggregate import Sum
+
+    if salt_buckets is None:
+        out = ds.groupby(key).count()
+        return out.rename_columns({"count()": count_alias}) \
+            if "count()" in out.schema().names else out
+
+    import numpy as np
+
+    def partial(batch: pa.Table, _k=key, _s=salt_buckets) -> pa.Table:
+        keys = batch.column(_k)
+        salt = np.arange(len(keys), dtype=np.int64) % _s
+        t = pa.table({_k: keys, "_salt": pa.array(salt, pa.int64())})
+        g = t.group_by([_k, "_salt"]).aggregate([(_k, "count")])
+        return g.rename_columns([_k, "_salt", "_partial"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    final = partials.groupby(key).aggregate(Sum("_partial", alias_name=count_alias))
+    return final.drop_columns(["_salt"]) if "_salt" in final.schema().names else final

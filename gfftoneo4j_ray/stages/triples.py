@@ -114,7 +114,7 @@ class TripleExtractor:
         })
 
 
-def apply(text_ds, concurrency: int | tuple = 4, batch_size: int = 512,
+def apply(text_ds, concurrency: int | tuple = (1, 4), batch_size: int = 512,
           lang: str | None = "en"):
     """text Dataset → triples Dataset on an actor pool.
 

@@ -57,7 +57,7 @@ def test_distributed_pr_vs_oracle(ray_session, small_corpus):
 
     pages = ray.data.read_parquet(f"{small_corpus}/pages")
     clean, _ = extract_text.split_quarantine(extract_text.apply(pages))
-    tds = triples.apply(clean, concurrency=2, batch_size=128)
+    tds = triples.apply(clean, concurrency=(1, 2), batch_size=128)
     got = tds.to_pandas()[["url", "sent_idx", "subj", "pred", "obj"]]
     want = pq.read_table(f"{small_corpus}/triples_expected.parquet").to_pandas()
     g = set(map(tuple, got.astype({"sent_idx": "int32"}).itertuples(index=False)))
