@@ -1,44 +1,345 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship KG pipeline on pages derived from the
+sf0.001 documents table. ``queries()`` exposes one callable per
+implemented operator/pipeline from SURVEY.md §2 plus the
+training-data ops (dedup / similarity / text analysis / multimodal);
+``oracle_sql()`` gives the DuckDB-equivalent SQL for every
+SQL-expressible entry (same column names, scaled-integer convention
+for fractional values — see gfftoneo4j_ray/ops/relational.py).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: no
+ray.init()/ray.shutdown() here or in the library code.
 """
 
 from __future__ import annotations
 
+import hashlib
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from gfftoneo4j_ray.functions import textstats
+from gfftoneo4j_ray.ops import relational as R
+from gfftoneo4j_ray.sources.pages import derive_pages
+from gfftoneo4j_ray.stages import (dedup, extract_text, multimodal,
+                                   similarity, triples)
+
+
+def _docs(sf_dir: str, columns=("doc_id", "text")):
+    import ray
+
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=list(columns))
+
+
+def _emb(sf_dir: str):
+    import ray
+
+    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                 columns=["vec_id", "embedding"])
+
+
+# ---------------------------------------------------------------------------
+# KG pipeline entries (pages derived deterministically from documents)
+# ---------------------------------------------------------------------------
+
+def _kg_out_dir(sf_dir: str) -> str:
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+    return f"/tmp/raykg_entry/{tag}"
+
+
+def _ensure_kg_run(sf_dir: str) -> dict:
+    """Run (or resume) the full KG pipeline for this sf_dir. The
+    checkpointed run makes the second query entry (nodes vs edges) a
+    pure re-read."""
+    import pyarrow.parquet as pq
+
+    from gfftoneo4j_ray.gen.pages import dictionary_table
+    from gfftoneo4j_ray.pipelines import kg
+
+    out = _kg_out_dir(sf_dir)
+    os.makedirs(out, exist_ok=True)
+    dict_path = os.path.join(out, "dictionary.parquet")
+    if not os.path.exists(dict_path):
+        pq.write_table(dictionary_table(), dict_path)
+    pages_path = os.path.join(out, "pages")
+    if not os.path.exists(os.path.join(pages_path, "_DERIVED")):
+        derive_pages(sf_dir).write_parquet(pages_path)
+        open(os.path.join(pages_path, "_DERIVED"), "w").write(sf_dir)
+    return kg.run(pages_path, dict_path, out, checkpointed=True, resume=True)
+
+
+def q_kg_triples(sf_dir: str):
+    pages = derive_pages(sf_dir)
+    clean, _ = extract_text.split_quarantine(extract_text.apply(pages))
+    return triples.apply(clean, concurrency=(1, 4)) \
+        .select_columns(["url", "sent_idx", "subj", "pred", "obj"])
+
+
+def q_kg_nodes(sf_dir: str):
+    import ray
+
+    res = _ensure_kg_run(sf_dir)
+    nodes = ray.data.read_parquet(res["nodes_dir"])
+    # surface_forms is list-typed; project to hash-friendly scalars
+    return nodes.select_columns(["node_id", "label", "key",
+                                 "entity_type", "n_mentions"])
+
+
+def q_kg_edges(sf_dir: str):
+    import ray
+
+    res = _ensure_kg_run(sf_dir)
+    return ray.data.read_parquet(res["edges_dir"])
+
+
+def q_mm_payload_features(sf_dir: str):
+    feats = multimodal.apply(derive_pages(sf_dir))
+    # project list column away for the rows-only check
+    return feats.select_columns(["url", "n_bytes", "payload_sha1"])
+
+
+# ---------------------------------------------------------------------------
+# text analysis / dedup / similarity entries
+# ---------------------------------------------------------------------------
+
+def q_text_stats(sf_dir: str):
+    return _docs(sf_dir).map_batches(textstats.text_stats_batch,
+                                     batch_format="pyarrow")
+
+
+def q_langid(sf_dir: str):
+    return _docs(sf_dir).map_batches(textstats.lang_id_batch,
+                                     batch_format="pyarrow")
+
+
+def q_fingerprint(sf_dir: str):
+    return _docs(sf_dir).map_batches(textstats.fingerprint_batch,
+                                     batch_format="pyarrow")
+
+
+def q_dedup_exact(sf_dir: str):
+    return dedup.exact_dedup(_docs(sf_dir))
+
+
+def q_simhash(sf_dir: str):
+    return _docs(sf_dir).map_batches(dedup.simhash_batch,
+                                     batch_format="pyarrow")
+
+
+def q_ngram_jaccard(sf_dir: str):
+    return dedup.ngram_jaccard_pairs(_docs(sf_dir), max_doc_id=120)
+
+
+def q_minhash_neardup(sf_dir: str):
+    import pyarrow as pa
+
+    groups = dedup.minhash_dedup_groups(_docs(sf_dir), threshold=0.8)
+    items = sorted(groups.items())
+    return pa.table({
+        "doc_id": pa.array([k for k, _ in items], pa.int64()),
+        "group_rep": pa.array([v for _, v in items], pa.int64()),
+    })
+
+
+def q_emb_neardup(sf_dir: str):
+    # synthetic embeddings are near-orthogonal (max cos ≈ 0.51); 0.35
+    # marks the top ~0.1% most-similar pairs as "near-dups"
+    return dedup.embedding_neardup_pairs(_emb(sf_dir), threshold_c=3500)
+
+
+def q_ann_topk(sf_dir: str):
+    return similarity.brute_force_topk(_emb(sf_dir),
+                                       query_ids=list(range(8)), k=5)
+
+
+def q_ann_lsh(sf_dir: str):
+    return similarity.lsh_topk(_emb(sf_dir), query_ids=list(range(8)), k=5)
+
+
+# ---------------------------------------------------------------------------
+# contract functions
+# ---------------------------------------------------------------------------
 
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    import ray
+
+    res = _ensure_kg_run("/root/testdata/sf0.001")
+    return ray.data.read_parquet(res["edges_dir"])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational operator inventory (SURVEY.md §2) — all oracle-checked
+        "q_parse_attrs": R.q_parse_attrs,
+        "q_filter_project": R.q_filter_project,
+        "q_lineitem_agg": R.q_lineitem_agg,
+        "q_two_level_rollup": R.q_two_level_rollup,
+        "q_group_consistency": R.q_group_consistency,
+        "q_distinct": R.q_distinct,
+        "q_join_enrich": R.q_join_enrich,
+        "q_sort_topk": R.q_sort_topk,
+        "q_adjacent_pairs": R.q_adjacent_pairs,
+        "q_window_agg": R.q_window_agg,
+        "q_union_counts": R.q_union_counts,
+        # text analysis / dedup / similarity (training-data ops)
+        "q_text_stats": q_text_stats,
+        "q_dedup_exact": q_dedup_exact,
+        "q_ngram_jaccard": q_ngram_jaccard,
+        "q_ann_topk": q_ann_topk,
+        "q_langid": q_langid,                  # rows-only (heuristic)
+        "q_fingerprint": q_fingerprint,        # rows-only (rolling hash)
+        "q_simhash": q_simhash,                # rows-only (projection hash)
+        "q_minhash_neardup": q_minhash_neardup,  # rows-only (LSH)
+        "q_emb_neardup": q_emb_neardup,        # rows-only (blocked matmul)
+        "q_ann_lsh": q_ann_lsh,                # rows-only (approximate)
+        # KG pipeline (non-SQL-expressible: html derivation + extraction)
+        "kg_triples": q_kg_triples,
+        "kg_nodes": q_kg_nodes,
+        "kg_edges": q_kg_edges,
+        "mm_payload_features": q_mm_payload_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q_parse_attrs": r"""
+            SELECT event_id,
+                   CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k_val
+            FROM events
+        """,
+        "q_filter_project": r"""
+            SELECT l_orderkey, l_linenumber,
+                   CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                        AS BIGINT) AS revenue_c
+            FROM lineitem
+            WHERE l_shipdate < TIMESTAMP '1995-06-01 00:00:00'
+        """,
+        "q_lineitem_agg": r"""
+            SELECT l_returnflag, l_linestatus,
+                   CAST(FLOOR(SUM(l_quantity) * 100 + 0.5) AS BIGINT) AS sum_qty_c,
+                   CAST(FLOOR(SUM(l_extendedprice) * 100 + 0.5) AS BIGINT) AS sum_price_c,
+                   CAST(FLOOR(SUM(l_extendedprice * (1 - l_discount)) * 100 + 0.5)
+                        AS BIGINT) AS sum_rev_c,
+                   COUNT(*) AS n_rows
+            FROM lineitem
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q_two_level_rollup": r"""
+            SELECT o_custkey AS c_custkey,
+                   CAST(FLOOR(SUM(order_qty) * 100 + 0.5) AS BIGINT) AS cust_qty_c,
+                   COUNT(*) AS n_orders
+            FROM (SELECT l_orderkey, SUM(l_quantity) AS order_qty
+                  FROM lineitem GROUP BY l_orderkey) li
+            JOIN orders ON li.l_orderkey = orders.o_orderkey
+            GROUP BY o_custkey
+        """,
+        "q_group_consistency": r"""
+            SELECT l_orderkey AS o_orderkey, MIN(l_returnflag) AS the_flag
+            FROM lineitem
+            GROUP BY l_orderkey
+            HAVING COUNT(DISTINCT l_returnflag) = 1
+        """,
+        "q_distinct": r"""
+            SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        """,
+        "q_join_enrich": r"""
+            SELECT n_name,
+                   CAST(FLOOR(SUM(o_totalprice) * 100 + 0.5) AS BIGINT) AS total_c
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "q_sort_topk": r"""
+            SELECT l_orderkey, l_linenumber,
+                   CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_c
+            FROM lineitem
+            ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+            LIMIT 50
+        """,
+        "q_adjacent_pairs": r"""
+            SELECT user_id, event_id, next_event_id, gap_us FROM (
+                SELECT user_id, event_id,
+                       LEAD(event_id) OVER w AS next_event_id,
+                       LEAD(epoch_us(ts)) OVER w - epoch_us(ts) AS gap_us
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ) WHERE next_event_id IS NOT NULL
+        """,
+        "q_window_agg": r"""
+            SELECT event_type,
+                   CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS window_id,
+                   COUNT(*) AS n_events,
+                   CAST(FLOOR(SUM(value) * 100 + 0.5) AS BIGINT) AS value_c
+            FROM events
+            GROUP BY event_type, window_id
+        """,
+        "q_union_counts": r"""
+            SELECT user_id, COUNT(*) AS n_events FROM (
+                SELECT user_id FROM events WHERE event_type = 'error'
+                UNION ALL
+                SELECT user_id FROM events WHERE event_type = 'signup'
+            ) GROUP BY user_id
+        """,
+        "q_text_stats": r"""
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+                                        x -> x <> '')) AS BIGINT) AS n_tokens,
+                   CAST(length(text) - length(replace(text, ' ', ''))
+                        AS BIGINT) AS n_spaces,
+                   CAST(FLOOR(CAST(length(regexp_replace(text, '[^a-z]', '', 'g'))
+                                   AS DOUBLE)
+                              / GREATEST(length(text), 1) * 10000 + 0.5)
+                        AS BIGINT) AS alpha_c
+            FROM documents
+        """,
+        "q_dedup_exact": r"""
+            SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dups
+            FROM documents GROUP BY text
+        """,
+        "q_ngram_jaccard": r"""
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(list_distinct(regexp_extract_all(lower(text),
+                                            '[a-z0-9_''-]+'))) AS w
+                FROM documents WHERE doc_id < 120
+            ),
+            sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+                FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+            )
+            SELECT doc_a, doc_b,
+                   CAST(FLOOR(CAST(n_inter AS DOUBLE)
+                              / GREATEST(sa.n + sb.n - n_inter, 1) * 10000 + 0.5)
+                        AS BIGINT) AS jaccard_c
+            FROM inter
+            JOIN sizes sa ON doc_a = sa.doc_id
+            JOIN sizes sb ON doc_b = sb.doc_id
+        """,
+        "q_ann_topk": r"""
+            WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
+            c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 8),
+            sims AS (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       CAST(FLOOR(list_cosine_similarity(q.embedding, c.embedding)
+                                  * 10000 + 0.5) AS BIGINT) AS cos_c
+                FROM q CROSS JOIN c
+            ),
+            ranked AS (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY query_id ORDER BY cos_c DESC, neighbor_id
+                ) AS rnk FROM sims
+            )
+            SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id, cos_c
+            FROM ranked WHERE rnk <= 5
+        """,
+    }

@@ -1,0 +1,156 @@
+"""Benchmark harness.
+
+Headline: the full checkpointed KG pipeline (pages → text → triples →
+linking → canonicalization → graph parquet) over pages derived from
+``$GRAFT_SF_DIR`` documents (default /root/testdata/sf0.1, amplified
+×``$BENCH_REPEAT`` pages per doc, default 4). Also times a
+representative query set (shuffle-heavy, dedup, ANN, text stats).
+
+Prints ONE JSON line:
+  {"metric": "kg_pipeline_sec", "value": <sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N,
+   "docs_per_sec": ..., "triples_per_sec": ...}
+
+``--scaling``: runs the same bench in two fresh processes at
+num_cpus=8 and num_cpus=32 on the same (pre-built, page-cache-warm)
+input and reports throughputs + scaling efficiency
+(= (T_lo/T_hi) / (hi/lo); 1.0 = linear).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+REPEAT = int(os.environ.get("BENCH_REPEAT", "4"))
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _pages_cache_dir() -> str:
+    tag = f"{SF_DIR.replace('/', '_')}-r{REPEAT}"
+    return f"/tmp/raykg_bench/pages-{tag}"
+
+
+def build_input_once() -> str:
+    """Materialize the derived pages corpus once (untimed; also warms
+    the OS page cache for the timed read)."""
+    from gfftoneo4j_ray.sources.pages import derive_pages
+
+    d = _pages_cache_dir()
+    marker = os.path.join(d, "_DONE")
+    if not os.path.exists(marker):
+        shutil.rmtree(d, ignore_errors=True)
+        derive_pages(SF_DIR, repeat=REPEAT).write_parquet(d)
+        open(marker, "w").write(SF_DIR)
+    # warm page cache
+    import pyarrow.parquet as pq
+    n = 0
+    for f in sorted(os.listdir(d)):
+        if f.endswith(".parquet"):
+            n += pq.read_table(os.path.join(f"{d}", f)).num_rows
+    return d
+
+
+def run_bench() -> dict:
+    import ray
+    from ray.data import DataContext
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    DataContext.get_current().enable_progress_bars = False
+
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as E
+    from gfftoneo4j_ray.gen.pages import dictionary_table
+    from gfftoneo4j_ray.pipelines import kg
+
+    pages_dir = build_input_once()
+    n_pages = sum(pq.read_metadata(os.path.join(pages_dir, f)).num_rows
+                  for f in os.listdir(pages_dir) if f.endswith(".parquet"))
+    out_root = "/tmp/raykg_bench/out"
+    shutil.rmtree(out_root, ignore_errors=True)
+    dict_path = "/tmp/raykg_bench/dictionary.parquet"
+    os.makedirs("/tmp/raykg_bench", exist_ok=True)
+    pq.write_table(dictionary_table(), dict_path)
+
+    pool = (1, max(2, NUM_CPUS - 2))
+    cfg = kg.KgConfig(triples_concurrency=pool, link_concurrency=pool,
+                      canon_concurrency=pool)
+
+    t0 = time.perf_counter()
+    kg.run(pages_dir, dict_path, out_root, cfg=cfg,
+           checkpointed=True, resume=False)
+    headline = time.perf_counter() - t0
+
+    with open(os.path.join(out_root, "triples", "_SUCCESS.json")) as f:
+        n_triples = json.load(f)["rows"]
+
+    queries = {}
+    qs = E.queries()
+    for name in ["q_lineitem_agg", "q_filter_project", "q_two_level_rollup",
+                 "q_window_agg", "q_adjacent_pairs", "q_dedup_exact",
+                 "q_text_stats", "q_minhash_neardup", "q_ann_topk",
+                 "q_simhash"]:
+        t0 = time.perf_counter()
+        res = qs[name](SF_DIR)
+        # consume (materialize small results)
+        if hasattr(res, "to_pandas"):
+            res.to_pandas()
+        queries[name] = round(time.perf_counter() - t0, 3)
+
+    out = {
+        "metric": "kg_pipeline_sec",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "n_pages": n_pages,
+        "n_triples": n_triples,
+        "docs_per_sec": round(n_pages / headline, 1),
+        "triples_per_sec": round(n_triples / headline, 1),
+    }
+    ray.shutdown()
+    return out
+
+
+def run_scaling() -> dict:
+    """Same job, same input, two parallelism levels in fresh processes."""
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        p = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                           env=env, capture_output=True, text=True, check=True)
+        return json.loads(p.stdout.strip().splitlines()[-1])
+
+    build_input_once()  # shared warm input
+    lo_n, hi_n = 8, 32
+    lo = min(one(lo_n), one(lo_n), key=lambda r: r["value"])  # best of 2
+    hi = min(one(hi_n), one(hi_n), key=lambda r: r["value"])
+    eff = (lo["value"] / hi["value"]) / (hi_n / lo_n)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_lo": lo["value"], "sec_hi": hi["value"],
+        "cpus_lo": lo_n, "cpus_hi": hi_n,
+        "docs_per_sec_lo": lo["docs_per_sec"],
+        "docs_per_sec_hi": hi["docs_per_sec"],
+        "triples_per_sec_lo": lo["triples_per_sec"],
+        "triples_per_sec_hi": hi["triples_per_sec"],
+        "sf": SF_DIR,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -1,0 +1,353 @@
+"""Relational operator library over the benchmark tables — Ray Data forms
+of every relational operator class in SURVEY.md §2, each with a DuckDB
+oracle (see __ray_entry__.oracle_sql).
+
+Conventions shared with the oracle SQL (the driver hash-compares values):
+  * monetary / fractional aggregates are emitted as scaled BIGINTs via
+    ``floor(x * scale + 0.5)`` — identical formula on both sides, so a
+    last-ulp difference in double summation order cannot flip the value
+    (half-away rounding without engine-specific ROUND semantics).
+  * every computed column is explicitly named, identically in both.
+  * results are small (aggregates / bounded row sets) — fine to return
+    as Datasets the driver materializes.
+
+Scale notes are per function; the common rules: prune columns at
+``read_parquet``, pre-aggregate inside ``map_batches`` before any
+groupby (combiner), broadcast dimension tables instead of shuffling
+fact tables, and express per-group windows as ``map_groups`` over an
+explicitly sorted group.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray
+
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _scaled(arr, scale: int = 100) -> pa.Array:
+    """floor(x*scale + 0.5) as int64 — the shared exact-compare convention."""
+    a = np.asarray(arr, dtype=np.float64)
+    return pa.array(np.floor(a * scale + 0.5).astype(np.int64), pa.int64())
+
+
+# ---------------------------------------------------------------------------
+# P: per-record parse / project / filter  (GffParser analogues, §2.2)
+# ---------------------------------------------------------------------------
+
+def q_parse_attrs(sf_dir: str):
+    """Semi-structured attribute parse (P7-P12 analogue): extract the
+    numeric ``k`` attribute from the events ``props`` kv-string column.
+
+    Vectorized: one compiled-regex `pc.extract_regex` per batch."""
+    ds = _read(sf_dir, "events", columns=["event_id", "props"])
+
+    def parse(t: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(t["props"], r'"k": (?P<k>\d+)')
+        kv = pc.struct_field(ex, "k")
+        return pa.table({
+            "event_id": t["event_id"],
+            "k_val": pc.cast(kv, pa.int64()),
+        })
+
+    return ds.map_batches(parse, batch_format="pyarrow")
+
+
+def q_filter_project(sf_dir: str):
+    """Filter + computed projection (P3-P6, P13): lineitems shipped
+    before 1995-06-01, revenue = price*(1-discount) in scaled cents."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_linenumber", "l_shipdate",
+                        "l_extendedprice", "l_discount"])
+    cutoff = pa.scalar(np.datetime64("1995-06-01T00:00:00", "us"),
+                       pa.timestamp("us"))
+
+    def fn(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t["l_shipdate"], cutoff))
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "l_linenumber": t["l_linenumber"],
+            "revenue_c": _scaled(rev.to_numpy(zero_copy_only=False)),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# G: grouped aggregation with map-side combiners (§2.4)
+# ---------------------------------------------------------------------------
+
+def q_lineitem_agg(sf_dir: str):
+    """TPC-H-Q1-shaped rollup (G2/G7): per (returnflag, linestatus) sums
+    and counts, pre-aggregated inside map_batches so the shuffle moves
+    one row per key per batch, not 6M rows (the combiner rule §4.2)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus", "l_quantity",
+                        "l_extendedprice", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        t2 = pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "qty": t["l_quantity"],
+            "price": t["l_extendedprice"],
+            "rev": rev,
+        })
+        g = t2.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty", "sum"), ("price", "sum"), ("rev", "sum"), ("qty", "count")])
+        return g.rename_columns(["l_returnflag", "l_linestatus",
+                                 "qty_sum", "price_sum", "rev_sum", "n_rows"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    agg = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("qty_sum", alias_name="sum_qty_raw"),
+        Sum("price_sum", alias_name="sum_price_raw"),
+        Sum("rev_sum", alias_name="sum_rev_raw"),
+        Sum("n_rows", alias_name="n_rows"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "sum_qty_c": _scaled(t["sum_qty_raw"].to_numpy(zero_copy_only=False)),
+            "sum_price_c": _scaled(t["sum_price_raw"].to_numpy(zero_copy_only=False)),
+            "sum_rev_c": _scaled(t["sum_rev_raw"].to_numpy(zero_copy_only=False)),
+            "n_rows": pc.cast(t["n_rows"], pa.int64()),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def q_two_level_rollup(sf_dir: str):
+    """Two chained shuffles (G3→G4, the exon→splicing→gene shape):
+    lineitem → per-order quantity, then per-customer totals via a
+    broadcast orders→customer lookup."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+    per_order = li.groupby("l_orderkey").aggregate(
+        Sum("l_quantity", alias_name="order_qty"))
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]) \
+        .to_pandas()
+    o2c = dict(zip(orders["o_orderkey"], orders["o_custkey"]))
+    o2c_ref = ray.put(o2c)
+
+    class AttachCust:
+        def __init__(self, ref):
+            import ray as _r
+            self.o2c = _r.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            keys = t["l_orderkey"].to_pylist()
+            cust = [self.o2c.get(k, -1) for k in keys]
+            return t.append_column("c_custkey", pa.array(cust, pa.int64()))
+
+    enriched = per_order.map_batches(AttachCust, batch_format="pyarrow",
+                                     concurrency=(1, 2),
+                                     fn_constructor_kwargs={"ref": o2c_ref})
+    per_cust = enriched.groupby("c_custkey").aggregate(
+        Sum("order_qty", alias_name="cust_qty_raw"),
+        Count(alias_name="n_orders"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": t["c_custkey"],
+            "cust_qty_c": _scaled(t["cust_qty_raw"].to_numpy(zero_copy_only=False)),
+            "n_orders": pc.cast(t["n_orders"], pa.int64()),
+        })
+
+    return per_cust.map_batches(finalize, batch_format="pyarrow")
+
+
+def q_group_consistency(sf_dir: str):
+    """T4 analogue: a group's derived key must be unique within the
+    group, else the group is dropped (exactly-one-distinct constraint,
+    reference GeneReader.scala:205-220): orders whose lineitems all
+    share one returnflag → (o_orderkey, the_flag)."""
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag"])
+
+    def per_group(g: pa.Table) -> pa.Table:
+        flags = pc.unique(g["l_returnflag"])
+        if len(flags) != 1:
+            return pa.schema([("o_orderkey", pa.int64()),
+                              ("the_flag", pa.string())]).empty_table()
+        return pa.table({
+            "o_orderkey": g["l_orderkey"].slice(0, 1),
+            "the_flag": flags,
+        })
+
+    return ds.groupby("l_orderkey").map_groups(per_group, batch_format="pyarrow")
+
+
+def q_distinct(sf_dir: str):
+    """D2/G6: distinct (returnflag, linestatus) combos via map-side
+    distinct + tiny global dedup (never a full-row shuffle)."""
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus"])
+
+    def local_distinct(t: pa.Table) -> pa.Table:
+        return t.group_by(["l_returnflag", "l_linestatus"]).aggregate([])
+
+    return ds.map_batches(local_distinct, batch_format="pyarrow") \
+        .groupby(["l_returnflag", "l_linestatus"]) \
+        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# T: joins (broadcast small side, §2.3 T2)
+# ---------------------------------------------------------------------------
+
+def q_join_enrich(sf_dir: str):
+    """Dimension enrichment without a shuffle join: customer+nation are
+    broadcast (ray.put once), looked up per batch; only the final small
+    per-nation aggregate shuffles. Semantically orders ⋈ customer ⋈
+    nation → revenue per nation."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
+    nat = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    c2n = dict(zip(cust["c_custkey"],
+                   cust["c_nationkey"].map(
+                       dict(zip(nat["n_nationkey"], nat["n_name"])))))
+    ref = ray.put(c2n)
+
+    class Enrich:
+        def __init__(self, r):
+            import ray as _r
+            self.c2n = _r.get(r)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            names = [self.c2n.get(k) for k in t["o_custkey"].to_pylist()]
+            out = pa.table({
+                "n_name": pa.array(names, pa.string()),
+                "o_totalprice": t["o_totalprice"],
+            })
+            g = out.group_by("n_name").aggregate([("o_totalprice", "sum")])
+            return g.rename_columns(["n_name", "price_sum"])
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    partials = orders.map_batches(Enrich, batch_format="pyarrow",
+                                  concurrency=(1, 2),
+                                  fn_constructor_kwargs={"r": ref})
+    agg = partials.groupby("n_name").aggregate(
+        Sum("price_sum", alias_name="total_raw"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_name": t["n_name"],
+            "total_c": _scaled(t["total_raw"].to_numpy(zero_copy_only=False)),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# O: sort / top-k / adjacent pairs (§2.5)
+# ---------------------------------------------------------------------------
+
+def q_sort_topk(sf_dir: str):
+    """O1 + limit: top-50 lineitems by extendedprice (deterministic
+    tiebreak on orderkey, linenumber)."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_linenumber", "l_extendedprice"])
+    top = ds.sort(["l_extendedprice", "l_orderkey", "l_linenumber"],
+                  descending=[True, False, False]).limit(50)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "l_linenumber": t["l_linenumber"],
+            "price_c": _scaled(t["l_extendedprice"].to_numpy(zero_copy_only=False)),
+        })
+
+    return top.map_batches(finalize, batch_format="pyarrow")
+
+
+def q_adjacent_pairs(sf_dir: str):
+    """O2 analogue (createPairs zip): per user, events sorted by
+    (ts, event_id), consecutive pairs with the gap in microseconds —
+    the order-edge chain as a relational query."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+
+    def pairs(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("ts", "ascending"), ("event_id", "ascending")])
+        ids = g["event_id"].to_numpy(zero_copy_only=False)
+        ts = g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        if len(ids) < 2:
+            return pa.schema([("user_id", pa.int64()),
+                              ("event_id", pa.int64()),
+                              ("next_event_id", pa.int64()),
+                              ("gap_us", pa.int64())]).empty_table()
+        return pa.table({
+            "user_id": g["user_id"].slice(0, len(ids) - 1),
+            "event_id": pa.array(ids[:-1], pa.int64()),
+            "next_event_id": pa.array(ids[1:], pa.int64()),
+            "gap_us": pa.array(ts[1:] - ts[:-1], pa.int64()),
+        })
+
+    return ds.groupby("user_id").map_groups(pairs, batch_format="pyarrow")
+
+
+def q_window_agg(sf_dir: str):
+    """Streaming-shaped tumbling window (§2.7): per (event_type, 1h
+    window) count + scaled value sum; window id = epoch_us // 3600e6 —
+    computed identically in the SQL oracle."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def windowed(t: pa.Table) -> pa.Table:
+        w = pc.divide(pc.cast(t["ts"], pa.int64()), 3_600_000_000)
+        return pa.table({
+            "event_type": t["event_type"],
+            "window_id": w,
+            "value": t["value"],
+        })
+
+    agg = ds.map_batches(windowed, batch_format="pyarrow") \
+        .groupby(["event_type", "window_id"]) \
+        .aggregate(Count(alias_name="n_events"),
+                   Sum("value", alias_name="value_raw"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t["event_type"],
+            "window_id": pc.cast(t["window_id"], pa.int64()),
+            "n_events": pc.cast(t["n_events"], pa.int64()),
+            "value_c": _scaled(t["value_raw"].to_numpy(zero_copy_only=False)),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# U: set ops (§2.6)
+# ---------------------------------------------------------------------------
+
+def q_union_counts(sf_dir: str):
+    """union of two filtered subsets → per-user event counts (D/union)."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def only(kind):
+        return ds.map_batches(
+            lambda t, _k=kind: t.filter(pc.equal(t["event_type"], _k)),
+            batch_format="pyarrow")
+
+    both = only("error").union(only("signup"))
+    return both.groupby("user_id").aggregate(Count(alias_name="n_events"))

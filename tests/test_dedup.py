@@ -1,0 +1,106 @@
+"""Dedup family: exact, MinHash-LSH, SimHash, n-gram Jaccard, embedding."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from gfftoneo4j_ray.stages import dedup
+
+
+@pytest.fixture()
+def planted_docs(ray_session):
+    import ray
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the green forest near the river")
+    rows = {
+        "doc_id": list(range(8)),
+        "text": [
+            base,                               # 0
+            base,                               # 1 exact dup of 0
+            base.replace("green", "teal"),      # 2 near dup of 0
+            base.replace("dog", "cat").replace("river", "lake"),  # 3 near dup
+            "completely different text about databases and shuffles "
+            "with partitions and actors everywhere",              # 4
+            "another unrelated document mentioning tables chairs "
+            "windows doors and roofs of houses",                  # 5
+            base + " with a tiny extra tail",   # 6 near dup of 0
+            "",                                  # 7 empty
+        ],
+    }
+    return ray.data.from_arrow(pa.table(rows))
+
+
+def test_exact_dedup(planted_docs):
+    out = dedup.exact_dedup(planted_docs).to_pandas().sort_values("doc_id")
+    groups = dict(zip(out["doc_id"], out["n_dups"]))
+    assert groups[0] == 2          # 0 and 1 identical
+    assert 1 not in groups         # 1 collapsed into 0
+    assert groups[4] == 1
+
+
+def test_minhash_neardup_groups(planted_docs):
+    groups = dedup.minhash_dedup_groups(planted_docs, threshold=0.7,
+                                        concurrency=1)
+    # 0,1,2,3,6 should all merge into one group rooted at 0
+    assert groups.get(0, 0) == 0
+    for d in (1, 2, 6):
+        assert groups.get(d) == 0, (d, groups)
+    # unrelated docs must not join
+    assert groups.get(4) is None or groups[4] != 0
+    assert groups.get(5) is None or groups[5] != 0
+
+
+def test_jaccard_and_signature_properties():
+    assert dedup.jaccard("a b c", "a b c") == 1.0
+    assert dedup.jaccard("a b", "c d") == 0.0
+    a, b = dedup._perm_params(64)
+    s1 = dedup.minhash_signature(dedup._shingles("x y z w v u t"), a, b)
+    s2 = dedup.minhash_signature(dedup._shingles("x y z w v u t"), a, b)
+    assert (s1 == s2).all()  # deterministic
+
+
+def test_simhash_similar_texts_close():
+    base = "the quick brown fox jumps over the lazy dog " * 3
+    h1 = dedup.simhash64(base)
+    h2 = dedup.simhash64(base.replace("lazy", "sleepy"))
+    h3 = dedup.simhash64("entirely different words about parquet arrow ray")
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+    assert hamming(h1, h2) < hamming(h1, h3)
+    assert dedup.simhash64(base) == h1  # stable
+
+
+def test_ngram_jaccard_pairs_matches_direct(planted_docs):
+    out = dedup.ngram_jaccard_pairs(planted_docs, max_doc_id=8).to_pandas()
+    got = {(a, b): j for a, b, j in out.itertuples(index=False)}
+    # exact dups → jaccard 1.0 → 10000 scaled
+    assert got[(0, 1)] == 10000
+    # verify one pair against the direct definition
+    t0 = "the quick brown fox jumps over the lazy dog and then runs far away into the green forest near the river"
+    t2 = t0.replace("green", "teal")
+    want = dedup.jaccard(t0, t2)
+    assert got[(0, 2)] == int(np.floor(want * 10000 + 0.5))
+
+
+def test_embedding_neardup(ray_session):
+    import ray
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal(16)
+    rows = {
+        "vec_id": [0, 1, 2, 3],
+        "embedding": [
+            base.tolist(),
+            (base + 0.01 * rng.standard_normal(16)).tolist(),  # near dup of 0
+            rng.standard_normal(16).tolist(),
+            (-base).tolist(),                                   # anti-correlated
+        ],
+    }
+    ds = ray.data.from_arrow(pa.table(rows))
+    out = dedup.embedding_neardup_pairs(ds, threshold_c=9500).to_pandas()
+    pairs = set(map(tuple, out[["vec_a", "vec_b"]].itertuples(index=False)))
+    assert (0, 1) in pairs
+    assert len(pairs) == 1

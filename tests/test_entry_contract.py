@@ -1,0 +1,77 @@
+"""The driver contract: entry(), queries(), oracle_sql() — run a
+representative oracle subset at sf0.001 exactly the way the driver
+does (sorted columns, order-insensitive value compare via DuckDB)."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+TABLES = ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split()
+
+
+@pytest.fixture(scope="module")
+def entrymod(ray_session):
+    import __ray_entry__ as E
+
+    return E
+
+
+@pytest.fixture(scope="module")
+def oracle_con():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF}/{t}.parquet')")
+    return con
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def _to_df(res):
+    if isinstance(res, pd.DataFrame):
+        return res
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res.to_pandas()
+
+
+ORACLE_SUBSET = ["q_lineitem_agg", "q_group_consistency", "q_adjacent_pairs",
+                 "q_dedup_exact", "q_text_stats", "q_ann_topk",
+                 "q_window_agg", "q_join_enrich"]
+
+
+@pytest.mark.parametrize("name", ORACLE_SUBSET)
+def test_query_matches_oracle(entrymod, oracle_con, name):
+    got = _norm(_to_df(entrymod.queries()[name](SF)))
+    want = _norm(oracle_con.execute(entrymod.oracle_sql()[name]).fetchdf())
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_every_oracle_key_has_query(entrymod):
+    qs = entrymod.queries()
+    for k in entrymod.oracle_sql():
+        assert k in qs, k
+
+
+def test_entry_runs_and_returns_rows(entrymod):
+    res = entrymod.entry()
+    n = res.count() if hasattr(res, "count") else len(res)
+    assert n > 0
+
+
+def test_rows_only_queries_return_rows(entrymod):
+    qs = entrymod.queries()
+    for name in ["q_langid", "q_fingerprint", "q_simhash", "kg_triples",
+                 "mm_payload_features"]:
+        df = _to_df(qs[name](SF))
+        assert len(df) > 0, name
