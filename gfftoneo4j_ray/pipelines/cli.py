@@ -1,0 +1,73 @@
+"""CLI entry point — the `ray job submit` driver.
+
+The analogue of the reference's scopt parser
+(reference: src/main/scala/corwur/CommandLineParser.scala:8-36):
+`-f` file → ``--input``, `-t` format → ``--profile``, `-u` neo4j url →
+``--output`` (the sink is Parquet, not a database). Cluster use:
+
+    ray job submit --working-dir . -- \
+        python -m gfftoneo4j_ray.pipelines.cli \
+        --input s3://bucket/pages --dictionary dict.parquet \
+        --output s3://bucket/kg --profile webtext
+
+This module is the ONLY library-adjacent place allowed to call
+``ray.init`` (guarded), because it owns the process.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="gfftoneo4j-ray",
+        description="Ray-Data-native knowledge-graph construction")
+    p.add_argument("--input", "-i", required=True,
+                   help="pages Parquet path/dir (url, warc_ts, html, text, lang)")
+    p.add_argument("--dictionary", "-d", required=True,
+                   help="alias dictionary parquet")
+    p.add_argument("--output", "-o", required=True, help="output root dir")
+    p.add_argument("--profile", "-t", default="webtext",
+                   help="pipeline profile name (see pipelines/profiles.py)")
+    p.add_argument("--resume", action=argparse.BooleanOptionalAction,
+                   default=True, help="resume from completed stages")
+    p.add_argument("--streaming", action="store_true",
+                   help="no per-stage checkpoints; only final tables written")
+    p.add_argument("--num-cpus", type=int, default=None,
+                   help="ray.init num_cpus for standalone runs")
+    p.add_argument("--concurrency", type=int, default=4,
+                   help="max actors per stateful stage")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from .profiles import get_profile
+
+    profile = get_profile(args.profile)  # fail fast on unknown name
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.num_cpus,
+                 include_dashboard=False, ignore_reinit_error=True,
+                 logging_level="ERROR")
+
+    from . import kg
+
+    pool = (1, max(1, args.concurrency))
+    cfg = kg.KgConfig(lang=profile.lang, triples_concurrency=pool,
+                      link_concurrency=pool, canon_concurrency=pool)
+    res = kg.run(args.input, args.dictionary, args.output, cfg=cfg,
+                 resume=args.resume, checkpointed=not args.streaming)
+    print(json.dumps(res))
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

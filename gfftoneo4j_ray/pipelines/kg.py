@@ -32,15 +32,18 @@ class KgConfig:
     cluster, scale ``*_concurrency`` with total cores)."""
 
     lang: str | None = "en"
-    extract_batch_size: int = 1024
+    extract_batch_size: int = 2048
     triples_concurrency: int | tuple = (1, 4)
-    triples_batch_size: int = 512
+    triples_batch_size: int = 2048
     link_concurrency: int | tuple = (1, 4)
-    link_batch_size: int = 1024
+    link_batch_size: int = 8192
     canon_concurrency: int | tuple = (1, 4)
     salt_buckets: int = 16
     input_columns: tuple = ("url", "warc_ts", "html", "lang")
     emit_order_edges: bool = True
+    # blocks for the input read; ≥ 8× cluster cores keeps every core fed
+    # (None = Ray's row-group-based default)
+    override_num_blocks: int | None = None
 
 
 def _read_pages(pages_path: str, cfg: KgConfig):
@@ -48,7 +51,11 @@ def _read_pages(pages_path: str, cfg: KgConfig):
 
     # prune at the read: never load the input `text` column — the engine
     # recomputes it (and verifies byte-identity downstream in tests)
-    return ray.data.read_parquet(pages_path, columns=list(cfg.input_columns))
+    kwargs = {}
+    if cfg.override_num_blocks:
+        kwargs["override_num_blocks"] = cfg.override_num_blocks
+    return ray.data.read_parquet(pages_path, columns=list(cfg.input_columns),
+                                 **kwargs)
 
 
 def _load_dictionary(dict_path: str) -> pa.Table:
@@ -57,30 +64,27 @@ def _load_dictionary(dict_path: str) -> pa.Table:
     return pq.read_table(dict_path)
 
 
-def mention_counts(canon_ds, salt_buckets: int) -> dict:
-    """entity node_id → mention count, via salted two-phase aggregation."""
-    def explode(t: pa.Table) -> pa.Table:
-        col = pa.concat_arrays([
-            t.column("subj_node_id").combine_chunks(),
-            t.column("obj_node_id").combine_chunks(),
-        ])
-        return pa.table({"node_id": col})
-
-    ds = canon_ds.map_batches(explode, batch_format="pyarrow")
-    agg = canonicalize.aggregate_counts(ds, "node_id", salt_buckets=salt_buckets)
-    out = {}
-    for b in agg.iter_batches(batch_format="pyarrow", batch_size=65536):
-        for nid, n in zip(b.column("node_id").to_pylist(),
-                          b.column("n").to_pylist()):
-            out[nid] = int(n)
-    return out
-
-
 def run(pages_path: str, dict_path: str, out_root: str, *,
         cfg: KgConfig | None = None, resume: bool = True,
         checkpointed: bool = True) -> dict:
-    """Run the full KG pipeline; returns paths + summary counters."""
+    """Run the full KG pipeline; returns paths + summary counters.
+
+    Set RAYKG_PROFILE=1 to print per-phase wall times to stderr."""
+    import sys
+    import time
+
     import ray
+
+    _prof = os.environ.get("RAYKG_PROFILE")
+    _last = time.perf_counter()
+
+    def mark(label: str) -> None:
+        nonlocal _last
+        now = time.perf_counter()
+        if _prof:
+            print(f"[kg] {label}: {now - _last:.2f}s", file=sys.stderr,
+                  flush=True)
+        _last = now
 
     cfg = cfg or KgConfig()
     ckpt = CheckpointedRun(out_root, resume=resume) if checkpointed else None
@@ -88,28 +92,43 @@ def run(pages_path: str, dict_path: str, out_root: str, *,
     dict_ref = ray.put(dict_table)
 
     pages = _read_pages(pages_path, cfg)
-    fingerprint = f"{pages_path}:{pages.count()}"
+    # fingerprint = input identity + stage-format version: bumping the
+    # version invalidates checkpoints whose committed schema changed
+    fingerprint = f"{pages_path}:{pages.count()}:fmt2"
 
     # ---- stage: text ------------------------------------------------------
+    # ONE extraction pass: commit ALL rows (clean + quarantined, with the
+    # reason column); the clean/quarantine views are cheap column-pruned
+    # filters over the committed Parquet — never a second extraction.
     def text_stage(tmp: str) -> dict:
-        extracted = extract_text.apply(pages, batch_size=cfg.extract_batch_size)
-        clean, quar = extract_text.split_quarantine(extracted)
-        clean.write_parquet(tmp)
-        qrows = quar.take_all()
-        ckpt.write_lineage("text_quarantine", qrows)
-        return {"quarantined": len(qrows)}
+        extract_text.apply(pages,
+                           batch_size=cfg.extract_batch_size).write_parquet(tmp, compression="zstd")
+        return {}
 
     if ckpt:
-        text_ds = ckpt.run_stage("text", text_stage, fingerprint)
+        extracted_ds = ckpt.run_stage("text", text_stage, fingerprint)
+        # quarantine accounting: column-pruned read of the committed stage
+        qrows = extract_text.quarantine_view(
+            ray.data.read_parquet(os.path.join(out_root, "text"),
+                                  columns=["url", "quarantine_reason"])
+        ).take_all()
+        ckpt.write_lineage("text_quarantine", qrows)
+        text_ds = extract_text.clean_view(extracted_ds)
     else:
-        text_ds, _ = extract_text.split_quarantine(
-            extract_text.apply(pages, batch_size=cfg.extract_batch_size))
+        # three consumers downstream (triples, page nodes, order edges) —
+        # pin the extracted corpus once (object store spills if needed);
+        # the checkpointed mode is the disk-backed equivalent at scale
+        text_ds = extract_text.clean_view(
+            extract_text.apply(pages,
+                               batch_size=cfg.extract_batch_size)).materialize()
+
+    mark("text")
 
     # ---- stage: triples ---------------------------------------------------
     def triples_stage(tmp: str) -> dict:
         triples.apply(text_ds, concurrency=cfg.triples_concurrency,
                       batch_size=cfg.triples_batch_size,
-                      lang=cfg.lang).write_parquet(tmp)
+                      lang=cfg.lang).repartition(128).write_parquet(tmp, compression="zstd")
         return {}
 
     if ckpt:
@@ -123,7 +142,8 @@ def run(pages_path: str, dict_path: str, out_root: str, *,
     def linked_stage(tmp: str) -> dict:
         linker.apply(triples_ds, dict_ref=dict_ref,
                      concurrency=cfg.link_concurrency,
-                     batch_size=cfg.link_batch_size).write_parquet(tmp)
+                     batch_size=cfg.link_batch_size).repartition(128) \
+            .write_parquet(tmp, compression="zstd")
         return {}
 
     if ckpt:
@@ -133,58 +153,102 @@ def run(pages_path: str, dict_path: str, out_root: str, *,
                                  concurrency=cfg.link_concurrency,
                                  batch_size=cfg.link_batch_size)
         # the streaming path consumes linked twice (mapping + canon);
-        # materialize once so extraction/linking doesn't run twice
-        linked_ds = linked_ds.materialize()
+        # materialize once so extraction/linking doesn't run twice.
+        # Coalesce: actor pools emit one small block per batch, and
+        # per-block overhead taxes every downstream exchange
+        linked_ds = linked_ds.repartition(128).materialize()
+
+    mark("triples+linked")
 
     # ---- canonical mapping (driver-small, dictionary-bounded) -------------
     mapping = canonicalize.build_canonical_mapping(linked_ds)
+    mark("mapping")
     canon_ds = canonicalize.apply(linked_ds, mapping,
                                   concurrency=cfg.canon_concurrency)
 
     if ckpt:
         def canon_stage(tmp: str) -> dict:
-            canon_ds.write_parquet(tmp)
+            canon_ds.repartition(128).write_parquet(tmp, compression="zstd")
             return {"canonical_entities": len({v[1] for v in mapping.values()})}
         canon_committed = ckpt.run_stage("canonical", canon_stage, fingerprint)
     else:
         # consumed by three sinks (counts, edges, nil nodes) — pin once
-        canon_committed = canon_ds.materialize()
+        canon_committed = canon_ds.repartition(128).materialize()
+
+    mark("canon")
 
     # ---- graph ------------------------------------------------------------
-    counts = mention_counts(canon_committed, cfg.salt_buckets)
     type_of = dict(zip(dict_table.column("entity_key").to_pylist(),
                        dict_table.column("entity_type").to_pylist()))
 
-    known_ids = {nid for _, nid in mapping.values()}
-    ent_nodes = ray.data.from_arrow(
-        graph.entity_nodes_from_mapping(mapping, counts, type_of))
-    nodes_ds = ent_nodes.union(graph.page_nodes(text_ds)) \
-                        .union(graph.nil_entity_nodes(canon_committed, known_ids))
+    # page metadata consumers (page nodes, order edges) need only
+    # (url, warc_ts) — column-pruned re-read of the committed text
+    # stage, never the text payload
+    if ckpt:
+        page_meta = extract_text.clean_view(ray.data.read_parquet(
+            os.path.join(out_root, "text"),
+            columns=["url", "warc_ts", "quarantine_reason"]))
+    else:
+        page_meta = text_ds.select_columns(["url", "warc_ts"])
+    page_meta = page_meta.repartition(64)
 
+    # edges first: the deduped `mentions` edge weights double as the
+    # per-entity mention counts (one aggregation instead of two)
     edge_partials = canon_committed.map_batches(
         graph.emit_asserts_mentions_alias, batch_format="pyarrow")
     if cfg.emit_order_edges:
-        order = graph.order_edges(text_ds).map_batches(
+        order = graph.order_edges(page_meta).map_batches(
             lambda t: t.rename_columns(["src", "dst", "type", "pred", "w"]),
             batch_format="pyarrow")
         edge_partials = edge_partials.union(order)
-    edges_ds = graph.finalize_edges(edge_partials)
+    # pin before the sort: Ray's sort consumes its input twice
+    # (boundary sampling + exchange) — a lazy upstream would re-execute
+    # end-to-end per pass
+    edges_ds = graph.finalize_edges(edge_partials).materialize()
+    mark("edges finalize")
+
+    known_ids = {nid for _, nid in mapping.values()}
+    counts = graph.mention_counts_from_edges(edges_ds, known_ids)
+    mark("mention counts")
+    ent_nodes = ray.data.from_arrow(
+        graph.entity_nodes_from_mapping(mapping, counts, type_of))
+    nodes_ds = ent_nodes.union(graph.page_nodes(page_meta)) \
+                        .union(graph.nil_entity_nodes(canon_committed, known_ids))
+    nodes_ds = nodes_ds.materialize()
+    mark("nodes build")
 
     nodes_dir = os.path.join(out_root, "nodes")
     edges_dir = os.path.join(out_root, "edges")
+    # the two final sort+writes are independent — run them concurrently
+    # (each drives its own streaming execution; overlaps shuffle of one
+    # with the disk write of the other)
+    from concurrent.futures import ThreadPoolExecutor
+
+    _settle_fsspec_http()
+
     if ckpt:
         def nodes_stage(tmp: str) -> dict:
-            nodes_ds.sort("node_id").write_parquet(tmp)
+            nodes_ds.sort("node_id").write_parquet(tmp, compression="zstd")
             return {}
         def edges_stage(tmp: str) -> dict:
-            edges_ds.sort(["src", "type", "dst"]).write_parquet(tmp)
+            edges_ds.sort(["src", "type", "dst", "pred"]).write_parquet(tmp, compression="zstd")
             return {}
-        ckpt.run_stage("nodes", nodes_stage, fingerprint)
-        ckpt.run_stage("edges", edges_stage, fingerprint)
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            fn = ex.submit(ckpt.run_stage, "nodes", nodes_stage, fingerprint)
+            fe = ex.submit(ckpt.run_stage, "edges", edges_stage, fingerprint)
+            fn.result()
+            fe.result()
+        mark("sort+write")
     else:
         os.makedirs(out_root, exist_ok=True)
-        nodes_ds.sort("node_id").write_parquet(nodes_dir)
-        edges_ds.sort(["src", "type", "dst"]).write_parquet(edges_dir)
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            fn = ex.submit(lambda: nodes_ds.sort("node_id")
+                           .write_parquet(nodes_dir, compression="zstd"))
+            fe = ex.submit(lambda: edges_ds.sort(["src", "type", "dst", "pred"])
+                           .write_parquet(edges_dir, compression="zstd"))
+            fn.result()
+            fe.result()
+        mark("sort+write")
 
     return {
         "out_root": out_root,
@@ -192,6 +256,33 @@ def run(pages_path: str, dict_path: str, out_root: str, *,
         "edges_dir": edges_dir if not ckpt else os.path.join(out_root, "edges"),
         "n_canonical_entities": len({v[1] for v in mapping.values()}),
     }
+
+
+def _settle_fsspec_http() -> None:
+    """Pre-settle ``fsspec.implementations.http`` before threaded writes.
+
+    Ray's write path probes this module (absent aiohttp it raises
+    ModuleNotFoundError, which Ray handles). Two concurrent FIRST
+    probes from worker threads can observe a partially-initialized
+    module and raise a bare ImportError Ray does not handle — probe
+    once on the main thread; if the probe fails, cache a minimal stub
+    (only ever used in an isinstance check) so later probes are
+    deterministic."""
+    try:
+        from fsspec.implementations.http import HTTPFileSystem  # noqa: F401
+    except ModuleNotFoundError:
+        import sys
+        import types
+
+        m = types.ModuleType("fsspec.implementations.http")
+
+        class HTTPFileSystem:  # minimal stand-in for isinstance checks
+            pass
+
+        m.HTTPFileSystem = HTTPFileSystem
+        sys.modules["fsspec.implementations.http"] = m
+    except ImportError:
+        pass
 
 
 def graph_datasets(result: dict):

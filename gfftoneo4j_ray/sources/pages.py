@@ -50,6 +50,50 @@ def _entity_sentences(doc_id: int, seed: int, n_sent: int) -> list[str]:
     return sents
 
 
+_SENT_BANK: list[str] | None = None
+
+
+def _sent_bank(seed: int = SEED, size: int = 4096) -> list[str]:
+    """One-time seeded sentence bank (relation + filler sentences).
+
+    Lets large bench corpora derive pages by index arithmetic instead
+    of per-page RNG — same statistical workload for the pipeline,
+    ~40× faster generation. Deterministic: pure function of seed."""
+    global _SENT_BANK
+    if _SENT_BANK is None:
+        _SENT_BANK = _entity_sentences(0, seed * 31 + 7, size)
+    return _SENT_BANK
+
+
+def derive_pages_fast_batch(t: pa.Table, seed: int = SEED,
+                            n_rel_sents: int = 6, repeat: int = 1) -> pa.Table:
+    """Bank-based derivation: page text = doc text + sentences picked
+    from the seeded bank by index arithmetic (deterministic)."""
+    bank = _sent_bank(seed)
+    nb = len(bank)
+    urls, tss, htmls, texts, langs = [], [], [], [], []
+    for doc_id, text, lang in zip(t["doc_id"].to_pylist(),
+                                  t["text"].to_pylist(),
+                                  t["lang"].to_pylist()):
+        for rep in range(repeat):
+            vid = doc_id * repeat + rep
+            base = (vid * 2654435761) % nb
+            sents = [bank[(base + j * 97) % nb] for j in range(n_rel_sents)]
+            page_text = (text or "") + "\n\n" + " ".join(sents)
+            urls.append(f"https://docs{vid % 500}.example/d/{vid}")
+            tss.append(EPOCH_US + vid * 7_000_000)
+            htmls.append(render_html(page_text, f"doc {vid}", vid))
+            texts.append(page_text)
+            langs.append(lang)
+    return pa.table({
+        "url": pa.array(urls, pa.string()),
+        "warc_ts": pa.array(tss, pa.timestamp("us")),
+        "html": pa.array(htmls, pa.binary()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(langs, pa.string()),
+    })
+
+
 def derive_pages_batch(t: pa.Table, seed: int = SEED,
                        n_rel_sents: int = 6, repeat: int = 1) -> pa.Table:
     """documents batch → pages batch (vectorizable derivation kernel).
@@ -81,16 +125,19 @@ def derive_pages_batch(t: pa.Table, seed: int = SEED,
 
 
 def derive_pages(sf_dir: str, seed: int = SEED, lang_override: str | None = None,
-                 repeat: int = 1):
-    """documents.parquet → pages Dataset (deterministic, distributed)."""
+                 repeat: int = 1, fast: bool = False):
+    """documents.parquet → pages Dataset (deterministic, distributed).
+
+    ``fast=True`` uses the sentence-bank kernel (bench corpora)."""
     import functools
 
     import ray
 
+    kernel = derive_pages_fast_batch if fast else derive_pages_batch
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text", "lang"])
     pages = ds.map_batches(
-        functools.partial(derive_pages_batch, repeat=repeat),
+        functools.partial(kernel, repeat=repeat),
         batch_format="pyarrow")
     if lang_override is not None:
         pages = pages.map_batches(

@@ -45,21 +45,15 @@ _S, _E = "s:", "e:"
 
 
 def emit_pairs_batch(batch: pa.Table) -> pa.Table:
-    """Per-batch combiner: distinct (surface, entity_key) edges of this batch."""
-    pairs: set[tuple[str, str]] = set()
+    """Per-batch combiner: distinct (surface, entity_key) edges of this
+    batch — fully vectorized (arrow filter + group_by distinct)."""
+    parts = []
     for side in ("subj", "obj"):
-        surf = batch.column(side).to_pylist()
-        keys = batch.column(f"{side}_key").to_pylist()
-        res = batch.column(f"{side}_resolved").to_pylist()
-        for s, k, r in zip(surf, keys, res):
-            if r:
-                pairs.add((s, k))
-    if pairs:
-        a, b = zip(*sorted(pairs))
-    else:
-        a, b = (), ()
-    return pa.table({"surface": pa.array(list(a), pa.string()),
-                     "entity_key": pa.array(list(b), pa.string())})
+        t = batch.select([side, f"{side}_key", f"{side}_resolved"]) \
+            .rename_columns(["surface", "entity_key", "resolved"])
+        parts.append(t.filter(t["resolved"]).drop_columns(["resolved"]))
+    both = pa.concat_tables(parts)
+    return both.group_by(["surface", "entity_key"]).aggregate([])
 
 
 def _local_unionfind(group: pa.Table) -> pa.Table:
@@ -81,13 +75,21 @@ def build_canonical_mapping(linked_ds, num_partitions: int = 64) -> dict:
     alias-pair universe, NOT by corpus size — see module docstring).
     """
     pairs = linked_ds.map_batches(emit_pairs_batch, batch_format="pyarrow")
-    # phase 2: exact global dedup; groupby("surface") hash-partitions the
-    # pair space so each surface's edges land together, then local UF
-    # compresses each partition to (member, root) edges.
-    deduped = pairs.groupby("surface").map_groups(
-        lambda g: _distinct_pairs(g), batch_format="pyarrow")
-    local = deduped.map_batches(_local_unionfind, batch_format="pyarrow",
-                                batch_size=None)
+    # phase 2: hash-partition the pair space on surface (bucketed — the
+    # exchange key is a small int, ops.hashagg layout) so each
+    # surface's edges land in one partition, then per-partition
+    # dedup + union-find compress to (member, root) edges.
+    from ..ops.hashagg import _bucket_column
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column("bucket",
+                               _bucket_column(t, ["surface"], num_partitions))
+
+    def bucket_uf(g: pa.Table) -> pa.Table:
+        return _local_unionfind(_distinct_pairs(g.drop_columns(["bucket"])))
+
+    local = pairs.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(bucket_uf, batch_format="pyarrow")
     # phase 3: driver merge over compressed representative edges (small)
     uf = UnionFind()
     for b in local.iter_batches(batch_format="pyarrow", batch_size=65536):
@@ -168,8 +170,6 @@ def aggregate_counts(ds, key: str, salt_buckets: int | None = None,
     salt = stable_hash(key ⊕ row) % S, then a final groupby(key) over the
     tiny partials — the hot-key (Zipfian entity) path. Counting is
     associative, so salted == unsalted exactly (tested)."""
-    from ray.data.aggregate import Sum
-
     if salt_buckets is None:
         out = ds.groupby(key).count()
         return out.rename_columns({"count()": count_alias}) \
@@ -185,5 +185,8 @@ def aggregate_counts(ds, key: str, salt_buckets: int | None = None,
         return g.rename_columns([_k, "_salt", "_partial"])
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    final = partials.groupby(key).aggregate(Sum("_partial", alias_name=count_alias))
-    return final.drop_columns(["_salt"]) if "_salt" in final.schema().names else final
+    from ..ops.hashagg import hash_aggregate
+
+    final = hash_aggregate(partials, key,
+                           [("_partial", "sum", count_alias)], num_buckets=32)
+    return final

@@ -86,13 +86,13 @@ def exact_dedup(docs_ds, text_col: str = "text", id_col: str = "doc_id"):
 
     hashed = docs_ds.map_batches(hash_batch, batch_format="pyarrow")
 
-    def keep_min(g: pa.Table) -> pa.Table:
-        ids = g[id_col].to_numpy(zero_copy_only=False)
-        return pa.table({id_col: pa.array([int(ids.min())], pa.int64()),
-                         "n_dups": pa.array([len(ids)], pa.int64())})
+    from ..ops.hashagg import hash_aggregate
 
-    return hashed.groupby("text_hash").map_groups(keep_min,
-                                                  batch_format="pyarrow")
+    return hash_aggregate(hashed, "text_hash",
+                          [(id_col, "min", id_col),
+                           (id_col, "count", "n_dups")],
+                          num_buckets=32) \
+        .select_columns([id_col, "n_dups"])
 
 
 # ---------------------------------------------------------------------------

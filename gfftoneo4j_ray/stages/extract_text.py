@@ -53,16 +53,28 @@ def apply(pages, batch_size: int = 1024):
 def split_quarantine(extracted):
     """(clean_ds, quarantine_ds) — quarantine rows carry their reason.
 
-    Two lazy filters over the same upstream; Ray Data will recompute the
-    cheap filter per consumer, which beats materializing at scale."""
+    Two lazy filters over the same upstream. NOTE: each consumer
+    re-executes the upstream extraction; in the checkpointed pipeline
+    prefer committing the full extracted table once and filtering the
+    committed Parquet (see clean_view / quarantine_view)."""
+    return clean_view(extracted), quarantine_view(extracted)
+
+
+def clean_view(extracted):
+    """Filter to clean rows, dropping the reason column (cheap re-read
+    when ``extracted`` is a committed Parquet dataset)."""
     import pyarrow.compute as pc
 
-    clean = extracted.map_batches(
+    return extracted.map_batches(
         lambda t: t.filter(pc.is_null(t["quarantine_reason"])).drop_columns(
             ["quarantine_reason"]),
         batch_format="pyarrow")
-    quar = extracted.map_batches(
+
+
+def quarantine_view(extracted):
+    import pyarrow.compute as pc
+
+    return extracted.map_batches(
         lambda t: t.filter(pc.is_valid(t["quarantine_reason"])).select(
             ["url", "quarantine_reason"]),
         batch_format="pyarrow")
-    return clean, quar

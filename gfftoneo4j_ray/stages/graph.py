@@ -76,14 +76,24 @@ def emit_asserts_mentions_alias(batch: pa.Table) -> pa.Table:
     preds = batch.column("pred").to_pylist()
     s_surf = batch.column("subj").to_pylist()
     o_surf = batch.column("obj").to_pylist()
+    # sha1 caches: urls repeat across a page's triples, alias surfaces
+    # repeat across the corpus — hash each distinct value once per batch
+    pid_cache: dict[str, str] = {}
+    alias_cache: dict[str, str] = {}
     for i in range(len(urls)):
-        pid = page_node_id(urls[i])
+        u = urls[i]
+        pid = pid_cache.get(u)
+        if pid is None:
+            pid = pid_cache[u] = page_node_id(u)
         k = (s_nid[i], o_nid[i], "asserts", preds[i])
         counts[k] = counts.get(k, 0) + 1
         for nid, surf in ((s_nid[i], s_surf[i]), (o_nid[i], o_surf[i])):
             km = (pid, nid, "mentions", "")
             counts[km] = counts.get(km, 0) + 1
-            ka = (alias_node_id(surf), nid, "alias_of", "")
+            aid = alias_cache.get(surf)
+            if aid is None:
+                aid = alias_cache[surf] = alias_node_id(surf)
+            ka = (aid, nid, "alias_of", "")
             counts[ka] = counts.get(ka, 0) + 1
     items = sorted(counts.items())
     return pa.table({
@@ -95,14 +105,21 @@ def emit_asserts_mentions_alias(batch: pa.Table) -> pa.Table:
     })
 
 
-def _order_edges_group(group: pa.Table) -> pa.Table:
-    """Within one host: sort pages by (warc_ts, url), link adjacent pairs."""
-    g = group.sort_by([("warc_ts", "ascending"), ("url", "ascending")])
+def _order_edges_bucket(bucket: pa.Table) -> pa.Table:
+    """One hash bucket of hosts: sort by (host, warc_ts, url), emit
+    adjacent pairs within each host run (vectorized boundary mask)."""
+    g = bucket.sort_by([("host", "ascending"), ("warc_ts", "ascending"),
+                        ("url", "ascending")])
+    hosts = g.column("host").to_pylist()
     urls = g.column("url").to_pylist()
     if len(urls) < 2:
         return EDGES_SCHEMA.empty_table()
-    src = [page_node_id(u) for u in urls[:-1]]
-    dst = [page_node_id(u) for u in urls[1:]]
+    ids = [page_node_id(u) for u in urls]
+    src, dst = [], []
+    for i in range(len(ids) - 1):
+        if hosts[i] == hosts[i + 1]:
+            src.append(ids[i])
+            dst.append(ids[i + 1])
     n = len(src)
     return pa.table({
         "src": pa.array(src, pa.string()),
@@ -113,28 +130,66 @@ def _order_edges_group(group: pa.Table) -> pa.Table:
     })
 
 
-def order_edges(pages_ds):
+def order_edges(pages_ds, num_buckets: int = 64):
     """page rows (url, warc_ts) → `order` chain edges, one chain per host.
 
-    Shuffle key: host (SURVEY.md §7.4's seqname analogue)."""
+    Shuffle key: hash(host) % B (SURVEY.md §7.4's seqname analogue) —
+    bucketed so the exchange groups B ints, not one group per host;
+    all pages of a host land in one bucket, so per-host chains are
+    complete by construction."""
+    from ..ops.hashagg import _bucket_column
+
     def add_host(t: pa.Table) -> pa.Table:
         hosts = [host_of(u) for u in t.column("url").to_pylist()]
-        return t.select(["url", "warc_ts"]).append_column(
+        out = t.select(["url", "warc_ts"]).append_column(
             "host", pa.array(hosts, pa.string()))
+        return out.append_column(
+            "bucket", _bucket_column(out, ["host"], num_buckets))
 
     with_host = pages_ds.map_batches(add_host, batch_format="pyarrow")
-    return with_host.groupby("host").map_groups(
-        lambda g: _order_edges_group(g.drop_columns(["host"])),
+    return with_host.groupby("bucket").map_groups(
+        lambda g: _order_edges_bucket(g.drop_columns(["bucket"])),
         batch_format="pyarrow")
 
 
-def finalize_edges(edge_partials_ds):
-    """partial edge rows (w) → exact-deduped weighted edges (D1 analogue)."""
-    from ray.data.aggregate import Sum
+def finalize_edges(edge_partials_ds, num_buckets: int = 64):
+    """partial edge rows (w) → exact-deduped weighted edges (D1 analogue).
 
-    return (edge_partials_ds
-            .groupby(["src", "dst", "type", "pred"])
-            .aggregate(Sum("w", alias_name="weight")))
+    Bucketed two-phase hash aggregate (ops.hashagg): the dedup shuffle
+    key is (src, dst, type, pred) hashed to a small int bucket."""
+    from ..ops.hashagg import hash_aggregate
+
+    return hash_aggregate(edge_partials_ds, ["src", "dst", "type", "pred"],
+                          [("w", "sum", "weight")], num_buckets=num_buckets)
+
+
+def mention_counts_from_edges(edges_ds, known_ids: set) -> dict:
+    """entity node_id → mention count for the (dictionary-bounded)
+    canonical entity set, read off the deduped `mentions` edges
+    (weight = multiplicity).
+
+    Distributed: vectorized filter (type == mentions ∧ dst ∈ known) +
+    bucketed hash aggregate; only ≤ |entities| rows reach the driver.
+    NIL entities (unbounded) are deliberately excluded — their node
+    rows carry null n_mentions (nil_entity_nodes)."""
+    import pyarrow.compute as pc
+
+    from ..ops.hashagg import hash_aggregate
+
+    known = pa.array(sorted(known_ids), pa.string())
+
+    def grab(t: pa.Table) -> pa.Table:
+        mask = pc.and_(pc.equal(t["type"], "mentions"),
+                       pc.is_in(t["dst"], value_set=known))
+        return t.filter(mask).select(["dst", "weight"])
+
+    agg = hash_aggregate(edges_ds.map_batches(grab, batch_format="pyarrow"),
+                         "dst", [("weight", "sum", "n")], num_buckets=8)
+    counts: dict[str, int] = {}
+    for b in agg.iter_batches(batch_format="pyarrow", batch_size=65536):
+        for d, n in zip(b["dst"].to_pylist(), b["n"].to_pylist()):
+            counts[d] = int(n)
+    return counts
 
 
 # ---------------------------------------------------------------------------
@@ -195,24 +250,28 @@ def nil_entity_nodes(canon_ds, known_node_ids: set):
     known = sorted(known_node_ids)
 
     def partial(t: pa.Table) -> pa.Table:
-        seen: dict[str, tuple[str, str | None]] = {}
-        for side in ("subj", "obj"):
-            nids = t.column(f"{side}_node_id").to_pylist()
-            canons = t.column(f"{side}_canon").to_pylist()
-            types = t.column(f"{side}_type").to_pylist()
-            for nid, c, ty in zip(nids, canons, types):
-                if nid not in seen:
-                    seen[nid] = (c, ty)
-        items = sorted(seen.items())
-        return pa.table({
-            "node_id": pa.array([k for k, _ in items], pa.string()),
-            "key": pa.array([v[0] for _, v in items], pa.string()),
-            "entity_type": pa.array([v[1] for _, v in items], pa.string()),
-        })
+        # vectorized per-batch distinct over both mention sides
+        parts = [
+            t.select([f"{s}_node_id", f"{s}_canon", f"{s}_type"])
+             .rename_columns(["node_id", "key", "entity_type"])
+            for s in ("subj", "obj")
+        ]
+        both = pa.concat_tables(parts)
+        return both.group_by("node_id").aggregate(
+            [("key", "min"), ("entity_type", "min")]) \
+            .rename_columns(["node_id", "key", "entity_type"])
 
-    distinct = canon_ds.map_batches(partial, batch_format="pyarrow") \
-        .groupby("node_id").map_groups(lambda g: g.slice(0, 1),
-                                       batch_format="pyarrow")
+    # global distinct via the bucketed hash aggregate — NOT
+    # groupby().map_groups(head) which pays a per-group Python call
+    # (66k canonical ids → 66k calls); values per node_id are identical
+    # so min() is a faithful representative pick
+    from ..ops.hashagg import hash_aggregate
+
+    distinct = hash_aggregate(
+        canon_ds.map_batches(partial, batch_format="pyarrow"),
+        "node_id",
+        [("key", "min", "key"), ("entity_type", "min", "entity_type")],
+        num_buckets=32)
 
     known_set = set(known)
 
@@ -235,7 +294,7 @@ def nil_entity_nodes(canon_ds, known_node_ids: set):
 def sort_and_write(nodes_ds, edges_ds, out_dir: str):
     """Final contract: nodes by node_id, edges by (src, type, dst)."""
     nodes = nodes_ds.sort("node_id")
-    edges = edges_ds.sort(["src", "type", "dst"])
+    edges = edges_ds.sort(["src", "type", "dst", "pred"])
     nodes.write_parquet(f"{out_dir}/nodes")
     edges.write_parquet(f"{out_dir}/edges")
     return f"{out_dir}/nodes", f"{out_dir}/edges"

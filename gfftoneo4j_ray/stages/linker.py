@@ -86,6 +86,13 @@ class EntityLinker:
         if dict_table is None:
             dict_table = ray.get(dict_ref)
         self.index = build_alias_index(dict_table)
+        # unambiguous aliases (the overwhelming majority) resolve to a
+        # CONSTANT — precomputed once per actor; the context embedding
+        # is only ever computed for ambiguous aliases (lazy rerank)
+        self.constant: dict[str, tuple] = {
+            a: (c[0][0], c[0][1], True)
+            for a, c in self.index.items() if len(c) == 1
+        }
 
     def _link_one(self, surface: str, ctx_vec: np.ndarray):
         cands = self.index.get(surface)
@@ -110,15 +117,25 @@ class EntityLinker:
         n = len(subs)
         sk, st, ok_, ot = [None] * n, [None] * n, [None] * n, [None] * n
         sr, orr = [False] * n, [False] * n
+        const = self.constant
         ctx_cache: dict[str, np.ndarray] = {}
-        for i in range(n):
-            sent = sents[i]
+
+        def resolve(surface, sent):
+            hit = const.get(surface)
+            if hit is not None:
+                return hit
+            if surface not in self.index:
+                return surface, None, False
             cv = ctx_cache.get(sent)
             if cv is None:
                 cv = embed_text(sent)
                 ctx_cache[sent] = cv
-            sk[i], st[i], _, sr[i] = self._link_one(subs[i], cv)
-            ok_[i], ot[i], _, orr[i] = self._link_one(objs[i], cv)
+            k, t, _, r = self._link_one(surface, cv)
+            return k, t, r
+
+        for i in range(n):
+            sk[i], st[i], sr[i] = resolve(subs[i], sents[i])
+            ok_[i], ot[i], orr[i] = resolve(objs[i], sents[i])
         out = batch.drop_columns(["sent"])
         return (out
                 .append_column("subj_key", pa.array(sk, pa.string()))
