@@ -187,6 +187,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_adjacent_pairs": R.q_adjacent_pairs,
         "q_window_agg": R.q_window_agg,
         "q_union_counts": R.q_union_counts,
+        "q_semi_join": R.q_semi_join,
+        "q_anti_join": R.q_anti_join,
+        "q_topk_per_group": R.q_topk_per_group,
+        "q_session_windows": R.q_session_windows,
         # text analysis / dedup / similarity (training-data ops)
         "q_text_stats": q_text_stats,
         "q_dedup_exact": q_dedup_exact,
@@ -286,6 +290,54 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL
                 SELECT user_id FROM events WHERE event_type = 'signup'
             ) GROUP BY user_id
+        """,
+        "q_semi_join": r"""
+            SELECT l_orderkey, l_linenumber,
+                   CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT) AS qty_c
+            FROM lineitem
+            WHERE l_orderkey IN (
+                SELECT o_orderkey FROM orders WHERE o_custkey IN (
+                    SELECT c_custkey FROM customer
+                    WHERE c_mktsegment = 'BUILDING'))
+        """,
+        "q_anti_join": r"""
+            SELECT c_custkey, c_name FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_totalprice > 400000)
+        """,
+        "q_topk_per_group": r"""
+            SELECT l_orderkey, CAST(rnk AS BIGINT) AS rnk, l_linenumber,
+                   CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_c
+            FROM (
+                SELECT l_orderkey, l_linenumber, l_extendedprice,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY l_orderkey
+                           ORDER BY l_extendedprice DESC, l_linenumber
+                       ) AS rnk
+                FROM lineitem
+            ) WHERE rnk <= 3
+        """,
+        "q_session_windows": r"""
+            WITH x AS (
+                SELECT user_id, event_id, epoch_us(ts) AS tus,
+                       CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                                 OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w
+                                    > 1800000000
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), y AS (
+                SELECT user_id, tus,
+                       SUM(new_s) OVER (PARTITION BY user_id
+                                        ORDER BY tus, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM x
+            )
+            SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                   COUNT(*) AS n_events,
+                   CAST(MAX(tus) - MIN(tus) AS BIGINT) AS dur_us
+            FROM y GROUP BY user_id, session_id
         """,
         "q_text_stats": r"""
             SELECT doc_id,

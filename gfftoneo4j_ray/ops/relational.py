@@ -328,6 +328,136 @@ def q_window_agg(sf_dir: str):
     return agg.map_batches(finalize, batch_format="pyarrow")
 
 
+def q_semi_join(sf_dir: str):
+    """Semi-join via broadcast key set (guide pattern; no shuffle):
+    lineitems of orders placed by customers in market segment BUILDING."""
+    import ray
+
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    keys = set(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]) \
+        .to_pandas()
+    okeys = pa.array(sorted(orders.loc[orders["o_custkey"].isin(keys),
+                                       "o_orderkey"]), pa.int64())
+    ref = ray.put(okeys)
+
+    def keep(t: pa.Table, _r=ref) -> pa.Table:
+        import ray as _ray
+        ks = _ray.get(_r)
+        return t.filter(pc.is_in(t["l_orderkey"], value_set=ks))
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_linenumber", "l_quantity"])
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "l_linenumber": t["l_linenumber"],
+            "qty_c": _scaled(t["l_quantity"].to_numpy(zero_copy_only=False)),
+        })
+
+    return li.map_batches(keep, batch_format="pyarrow") \
+        .map_batches(finalize, batch_format="pyarrow")
+
+
+def q_anti_join(sf_dir: str):
+    """Anti-join via broadcast key set: customers with NO large
+    (totalprice > 400k) order."""
+    import ray
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_custkey", "o_totalprice"]).to_pandas()
+    with_orders = pa.array(
+        sorted(set(orders.loc[orders["o_totalprice"] > 400000.0,
+                              "o_custkey"])), pa.int64())
+    ref = ray.put(with_orders)
+
+    def keep(t: pa.Table, _r=ref) -> pa.Table:
+        import ray as _ray
+        ks = _ray.get(_r)
+        return t.filter(pc.invert(pc.is_in(t["c_custkey"], value_set=ks)))
+
+    return _read(sf_dir, "customer", columns=["c_custkey", "c_name"]) \
+        .map_batches(keep, batch_format="pyarrow")
+
+
+def q_topk_per_group(sf_dir: str):
+    """Windowed top-k (row_number ≤ 3 per group): the 3 most expensive
+    lineitems per order — per-group sort inside map_groups over hash
+    buckets (no per-group Python dispatch)."""
+    from .hashagg import _bucket_column
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_linenumber", "l_extendedprice"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column("bucket", _bucket_column(t, ["l_orderkey"], 32))
+
+    def topk(g: pa.Table) -> pa.Table:
+        import numpy as np
+
+        g = g.sort_by([("l_orderkey", "ascending"),
+                       ("l_extendedprice", "descending"),
+                       ("l_linenumber", "ascending")])
+        keys = g["l_orderkey"].to_numpy(zero_copy_only=False)
+        # rank within each run of equal keys (vectorized)
+        starts = np.r_[0, np.flatnonzero(keys[1:] != keys[:-1]) + 1]
+        rank = np.arange(len(keys)) - np.repeat(starts, np.diff(np.r_[starts, len(keys)]))
+        mask = pa.array(rank < 3)
+        kept = g.filter(mask)
+        ranks = rank[rank < 3] + 1
+        return pa.table({
+            "l_orderkey": kept["l_orderkey"],
+            "rnk": pa.array(ranks, pa.int64()),
+            "l_linenumber": kept["l_linenumber"],
+            "price_c": _scaled(kept["l_extendedprice"].to_numpy(zero_copy_only=False)),
+        })
+
+    return ds.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("bucket") \
+        .map_groups(lambda g: topk(g.drop_columns(["bucket"])),
+                    batch_format="pyarrow")
+
+
+def q_session_windows(sf_dir: str):
+    """Gap-based sessionization (streaming-shaped §2.7): per user,
+    events sorted by ts; a gap > 30 min starts a new session. Emits
+    (user_id, session_id, n_events, dur_us). Matches the SQL
+    lag + cumulative-sum window formulation exactly."""
+    GAP_US = 1_800_000_000
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+
+    def sessions(g: pa.Table) -> pa.Table:
+        import numpy as np
+
+        g = g.sort_by([("ts", "ascending"), ("event_id", "ascending")])
+        ts = g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        if len(ts) == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "session_id": pa.array([], pa.int64()),
+                             "n_events": pa.array([], pa.int64()),
+                             "dur_us": pa.array([], pa.int64())})
+        new = np.r_[1, (ts[1:] - ts[:-1] > GAP_US).astype(np.int64)]
+        sid = np.cumsum(new)
+        uid = int(g["user_id"][0].as_py())
+        out_sid, out_n, out_dur = [], [], []
+        for s in range(1, sid[-1] + 1):
+            idx = np.flatnonzero(sid == s)
+            out_sid.append(s)
+            out_n.append(len(idx))
+            out_dur.append(int(ts[idx[-1]] - ts[idx[0]]))
+        return pa.table({
+            "user_id": pa.array([uid] * len(out_sid), pa.int64()),
+            "session_id": pa.array(out_sid, pa.int64()),
+            "n_events": pa.array(out_n, pa.int64()),
+            "dur_us": pa.array(out_dur, pa.int64()),
+        })
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # U: set ops (§2.6)
 # ---------------------------------------------------------------------------

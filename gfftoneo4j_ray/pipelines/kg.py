@@ -40,6 +40,9 @@ class KgConfig:
     canon_concurrency: int | tuple = (1, 4)
     salt_buckets: int = 16
     input_columns: tuple = ("url", "warc_ts", "html", "lang")
+    # read the input's reference `text` column too and record the
+    # per-row byte-identity invariant into lineage (input_hint)
+    verify_text: bool = False
     emit_order_edges: bool = True
     # blocks for the input read; ≥ 8× cluster cores keeps every core fed
     # (None = Ray's row-group-based default)
@@ -91,10 +94,12 @@ def run(pages_path: str, dict_path: str, out_root: str, *,
     dict_table = _load_dictionary(dict_path)
     dict_ref = ray.put(dict_table)
 
+    if cfg.verify_text and "text" not in cfg.input_columns:
+        cfg.input_columns = tuple(cfg.input_columns) + ("text",)
     pages = _read_pages(pages_path, cfg)
     # fingerprint = input identity + stage-format version: bumping the
     # version invalidates checkpoints whose committed schema changed
-    fingerprint = f"{pages_path}:{pages.count()}:fmt2"
+    fingerprint = f"{pages_path}:{pages.count()}:fmt2:vt{int(cfg.verify_text)}"
 
     # ---- stage: text ------------------------------------------------------
     # ONE extraction pass: commit ALL rows (clean + quarantined, with the
@@ -113,6 +118,19 @@ def run(pages_path: str, dict_path: str, out_root: str, *,
                                   columns=["url", "quarantine_reason"])
         ).take_all()
         ckpt.write_lineage("text_quarantine", qrows)
+        if cfg.verify_text:
+            import pyarrow.compute as pc
+
+            mism = ray.data.read_parquet(
+                os.path.join(out_root, "text"),
+                columns=["url", "text_match", "quarantine_reason"]
+            ).map_batches(
+                lambda t: t.filter(pc.and_(
+                    pc.is_null(t["quarantine_reason"]),
+                    pc.invert(pc.fill_null(t["text_match"], True)))
+                ).select(["url"]),
+                batch_format="pyarrow").take_all()
+            ckpt.write_lineage("text_mismatch", mism)
         text_ds = extract_text.clean_view(extracted_ds)
     else:
         # three consumers downstream (triples, page nodes, order edges) —

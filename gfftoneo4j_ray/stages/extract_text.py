@@ -27,7 +27,12 @@ def extract_text_batch(batch: pa.Table) -> pa.Table:
 
     ``text`` is the extracted article text (byte-identical per url on
     well-formed input); ``quarantine_reason`` is null for clean rows.
+    If the input batch carries a reference ``text`` column, a
+    ``text_match`` bool column records the per-row byte-identity
+    invariant (BASELINE.json input_hint) — vectorized equality.
     """
+    import pyarrow.compute as pc
+
     htmls = batch.column("html").to_pylist()
     texts: list[str] = []
     reasons: list[str | None] = []
@@ -35,13 +40,17 @@ def extract_text_batch(batch: pa.Table) -> pa.Table:
         t, r = extract_text_safe(h)
         texts.append(t)
         reasons.append(r)
-    return pa.table({
+    extracted = pa.array(texts, pa.string())
+    cols = {
         "url": batch.column("url"),
         "warc_ts": batch.column("warc_ts"),
-        "text": pa.array(texts, pa.string()),
+        "text": extracted,
         "lang": batch.column("lang"),
         "quarantine_reason": pa.array(reasons, pa.string()),
-    })
+    }
+    if "text" in batch.column_names:
+        cols["text_match"] = pc.equal(extracted, batch.column("text"))
+    return pa.table(cols)
 
 
 def apply(pages, batch_size: int = 1024):
