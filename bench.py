@@ -90,16 +90,39 @@ def run_bench() -> dict:
                       override_num_blocks=max(256, 8 * NUM_CPUS))
 
     mode = os.environ.get("BENCH_MODE", "checkpointed")
-    t0 = time.perf_counter()
-    kg.run(pages_dir, dict_path, out_root, cfg=cfg,
-           checkpointed=(mode != "stream"), resume=False)
-    headline = time.perf_counter() - t0
+    if mode == "core":
+        # the throughput-metric path: pages → text → triples → linking →
+        # canonical triples (no graph sink) — docs/s and triples/s
+        import pyarrow.parquet as _pq
+        import ray as _ray
 
-    if mode != "stream":
-        with open(os.path.join(out_root, "triples", "_SUCCESS.json")) as f:
-            n_triples = json.load(f)["rows"]
+        from gfftoneo4j_ray.stages import (canonicalize, extract_text,
+                                           linker, triples)
+
+        dict_ref = _ray.put(_pq.read_table(dict_path))
+        t0 = time.perf_counter()
+        pages_ds = _ray.data.read_parquet(
+            pages_dir, columns=["url", "warc_ts", "html", "lang"],
+            override_num_blocks=max(256, 8 * NUM_CPUS))
+        text_ds = extract_text.clean_view(extract_text.apply(pages_ds))
+        linked = linker.apply(
+            triples.apply(text_ds, concurrency=pool), dict_ref=dict_ref,
+            concurrency=pool).repartition(128).materialize()
+        mapping = canonicalize.build_canonical_mapping(linked)
+        n_triples = canonicalize.apply(linked, mapping,
+                                       concurrency=pool).count()
+        headline = time.perf_counter() - t0
     else:
-        n_triples = None
+        t0 = time.perf_counter()
+        kg.run(pages_dir, dict_path, out_root, cfg=cfg,
+               checkpointed=(mode != "stream"), resume=False)
+        headline = time.perf_counter() - t0
+
+        if mode != "stream":
+            with open(os.path.join(out_root, "triples", "_SUCCESS.json")) as f:
+                n_triples = json.load(f)["rows"]
+        else:
+            n_triples = None
 
     queries = {}
     qs = E.queries()
@@ -133,11 +156,17 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> dict:
-    """Same job, same input, two parallelism levels in fresh processes."""
-    def one(ncpu: int) -> dict:
+    """Same job, same input, two parallelism levels in fresh processes.
+
+    Measures BOTH the core throughput path (pages → canonical triples,
+    the docs/s + triples/s metric) and the full pipeline including the
+    graph sink. Default pair 4 vs 16 cpus (≥16 saturates this single
+    box's memory/disk — see BASELINE.md); override with
+    BENCH_SCALING_CPUS="8,32".
+    """
+    def one(ncpu: int, mode: str) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                   BENCH_SKIP_QUERIES="1",
-                   BENCH_MODE=os.environ.get("BENCH_MODE", "stream"))
+                   BENCH_SKIP_QUERIES="1", BENCH_MODE=mode)
         p = subprocess.run([sys.executable, os.path.abspath(__file__)],
                            env=env, capture_output=True, text=True, check=True)
         return json.loads(p.stdout.strip().splitlines()[-1])
@@ -150,22 +179,28 @@ def run_scaling() -> dict:
     globals()["REPEAT"] = int(os.environ["BENCH_REPEAT"])
     build_input_once()  # shared warm input
     runs = int(os.environ.get("BENCH_SCALING_RUNS", "1"))
-    lo_n, hi_n = 8, 32
-    lo = min((one(lo_n) for _ in range(runs)), key=lambda r: r["value"])
-    hi = min((one(hi_n) for _ in range(runs)), key=lambda r: r["value"])
-    eff = (lo["value"] / hi["value"]) / (hi_n / lo_n)
-    return {
-        "metric": "scaling_efficiency",
-        "value": round(eff, 3),
-        "unit": "ratio",
-        "sec_lo": lo["value"], "sec_hi": hi["value"],
-        "cpus_lo": lo_n, "cpus_hi": hi_n,
-        "docs_per_sec_lo": lo["docs_per_sec"],
-        "docs_per_sec_hi": hi["docs_per_sec"],
-        "n_pages": lo["n_pages"],
-        "mode": os.environ.get("BENCH_MODE", "stream"),
-        "sf": SF_DIR,
-    }
+    lo_n, hi_n = (int(x) for x in
+                  os.environ.get("BENCH_SCALING_CPUS", "4,16").split(","))
+    out = {"metric": "scaling_efficiency", "unit": "ratio",
+           "cpus_lo": lo_n, "cpus_hi": hi_n, "sf": SF_DIR}
+    for mode in ("core", "stream"):
+        lo = min((one(lo_n, mode) for _ in range(runs)),
+                 key=lambda r: r["value"])
+        hi = min((one(hi_n, mode) for _ in range(runs)),
+                 key=lambda r: r["value"])
+        eff = (lo["value"] / hi["value"]) / (hi_n / lo_n)
+        key = "core" if mode == "core" else "full"
+        out[f"eff_{key}"] = round(eff, 3)
+        out[f"sec_lo_{key}"] = lo["value"]
+        out[f"sec_hi_{key}"] = hi["value"]
+        out[f"docs_per_sec_lo_{key}"] = lo["docs_per_sec"]
+        out[f"docs_per_sec_hi_{key}"] = hi["docs_per_sec"]
+        if lo.get("triples_per_sec"):
+            out[f"triples_per_sec_lo_{key}"] = lo["triples_per_sec"]
+            out[f"triples_per_sec_hi_{key}"] = hi["triples_per_sec"]
+        out["n_pages"] = lo["n_pages"]
+    out["value"] = out["eff_core"]
+    return out
 
 
 if __name__ == "__main__":
