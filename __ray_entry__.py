@@ -161,6 +161,10 @@ def q_ann_lsh(sf_dir: str):
     return similarity.lsh_topk(_emb(sf_dir), query_ids=list(range(8)), k=5)
 
 
+def q_ann_ivf(sf_dir: str):
+    return similarity.ivf_topk(_emb(sf_dir), query_ids=list(range(8)), k=5)
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -202,6 +206,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_minhash_neardup": q_minhash_neardup,  # rows-only (LSH)
         "q_emb_neardup": q_emb_neardup,        # rows-only (blocked matmul)
         "q_ann_lsh": q_ann_lsh,                # rows-only (approximate)
+        "q_ann_ivf": q_ann_ivf,                # rows-only (approximate)
         # KG pipeline (non-SQL-expressible: html derivation + extraction)
         "kg_triples": q_kg_triples,
         "kg_nodes": q_kg_nodes,

@@ -65,3 +65,19 @@ def test_lsh_recall_on_clustered_data(emb_ds):
     rec = similarity.recall_vs_bruteforce(approx, exact)
     # same-cluster neighbors share hyperplane signs with high probability
     assert rec >= 0.6, rec
+
+
+def test_ivf_recall_on_clustered_data(emb_ds):
+    exact = similarity.brute_force_topk(emb_ds, [0, 1, 2], k=5).to_pandas()
+    approx = similarity.ivf_topk(emb_ds, [0, 1, 2], k=5, n_cells=8,
+                                 n_probe=3).to_pandas()
+    rec = similarity.recall_vs_bruteforce(approx, exact)
+    assert rec >= 0.8, rec  # 3 well-separated clusters, 3 probes
+
+
+def test_ivf_deterministic(emb_ds):
+    a = similarity.ivf_topk(emb_ds.repartition(3), [7], k=4).to_pandas()
+    b = similarity.ivf_topk(emb_ds.repartition(9), [7], k=4).to_pandas()
+    cols = ["query_id", "rank", "neighbor_id", "cos_c"]
+    assert a.sort_values(cols).reset_index(drop=True)[cols] \
+        .equals(b.sort_values(cols).reset_index(drop=True)[cols])
