@@ -133,16 +133,21 @@ class ApplyCanonical:
         return surface, entity_node_id(surface)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
         out = batch
+        # vectorized: resolve each DISTINCT surface once, then a C-level
+        # pandas map; NIL hashes are computed per distinct surface only
         for side in ("subj", "obj"):
-            surfs = batch.column(side).to_pylist()
-            canon, nid = [], []
-            for s in surfs:
-                c, i = self._canon(s)
-                canon.append(c)
-                nid.append(i)
-            out = (out.append_column(f"{side}_canon", pa.array(canon, pa.string()))
-                      .append_column(f"{side}_node_id", pa.array(nid, pa.string())))
+            s = batch.column(side).to_pandas()
+            uniq = pd.unique(s)
+            res = {u: self._canon(u) for u in uniq}
+            canon = s.map({u: r[0] for u, r in res.items()})
+            nid = s.map({u: r[1] for u, r in res.items()})
+            out = (out.append_column(f"{side}_canon",
+                                     pa.array(canon, pa.string()))
+                      .append_column(f"{side}_node_id",
+                                     pa.array(nid, pa.string())))
         return out
 
 

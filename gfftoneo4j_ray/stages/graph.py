@@ -69,40 +69,38 @@ def emit_asserts_mentions_alias(batch: pa.Table) -> pa.Table:
     Per-batch combiner (the pre-aggregation rule, SURVEY.md §4.2): the
     groupby that finalizes weights shuffles per-batch partials, not one
     row per triple."""
-    counts: dict[tuple[str, str, str, str], int] = {}
-    urls = batch.column("url").to_pylist()
-    s_nid = batch.column("subj_node_id").to_pylist()
-    o_nid = batch.column("obj_node_id").to_pylist()
-    preds = batch.column("pred").to_pylist()
-    s_surf = batch.column("subj").to_pylist()
-    o_surf = batch.column("obj").to_pylist()
-    # sha1 caches: urls repeat across a page's triples, alias surfaces
-    # repeat across the corpus — hash each distinct value once per batch
-    pid_cache: dict[str, str] = {}
-    alias_cache: dict[str, str] = {}
-    for i in range(len(urls)):
-        u = urls[i]
-        pid = pid_cache.get(u)
-        if pid is None:
-            pid = pid_cache[u] = page_node_id(u)
-        k = (s_nid[i], o_nid[i], "asserts", preds[i])
-        counts[k] = counts.get(k, 0) + 1
-        for nid, surf in ((s_nid[i], s_surf[i]), (o_nid[i], o_surf[i])):
-            km = (pid, nid, "mentions", "")
-            counts[km] = counts.get(km, 0) + 1
-            aid = alias_cache.get(surf)
-            if aid is None:
-                aid = alias_cache[surf] = alias_node_id(surf)
-            ka = (aid, nid, "alias_of", "")
-            counts[ka] = counts.get(ka, 0) + 1
-    items = sorted(counts.items())
-    return pa.table({
-        "src": pa.array([k[0] for k, _ in items], pa.string()),
-        "dst": pa.array([k[1] for k, _ in items], pa.string()),
-        "type": pa.array([k[2] for k, _ in items], pa.string()),
-        "pred": pa.array([k[3] for k, _ in items], pa.string()),
-        "w": pa.array([v for _, v in items], pa.int64()),
-    })
+    import pandas as pd
+
+    n = batch.num_rows
+    urls = batch.column("url").to_pandas()
+    s_nid = batch.column("subj_node_id").to_pandas()
+    o_nid = batch.column("obj_node_id").to_pandas()
+    preds = batch.column("pred").to_pandas()
+    s_surf = batch.column("subj").to_pandas()
+    o_surf = batch.column("obj").to_pandas()
+    # sha1 per DISTINCT url / surface, then C-level pandas maps
+    pid = urls.map({u: page_node_id(u) for u in pd.unique(urls)})
+    s_aid = s_surf.map({a: alias_node_id(a) for a in pd.unique(s_surf)})
+    o_aid = o_surf.map({a: alias_node_id(a) for a in pd.unique(o_surf)})
+    empty = pd.Series([""] * n)
+    frames = [
+        pd.DataFrame({"src": s_nid, "dst": o_nid,
+                      "type": "asserts", "pred": preds}),
+        pd.DataFrame({"src": pid, "dst": s_nid,
+                      "type": "mentions", "pred": empty}),
+        pd.DataFrame({"src": pid, "dst": o_nid,
+                      "type": "mentions", "pred": empty}),
+        pd.DataFrame({"src": s_aid, "dst": s_nid,
+                      "type": "alias_of", "pred": empty}),
+        pd.DataFrame({"src": o_aid, "dst": o_nid,
+                      "type": "alias_of", "pred": empty}),
+    ]
+    t = pa.Table.from_pandas(pd.concat(frames, ignore_index=True),
+                             preserve_index=False)
+    g = t.group_by(["src", "dst", "type", "pred"]).aggregate([("src", "count")])
+    g = g.rename_columns(["src", "dst", "type", "pred", "w"])
+    return g.set_column(g.schema.get_field_index("w"), "w",
+                        g["w"].cast(pa.int64()))
 
 
 def _order_edges_bucket(bucket: pa.Table) -> pa.Table:
