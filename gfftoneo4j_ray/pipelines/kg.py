@@ -167,14 +167,14 @@ def run(pages_path: str, dict_path: str, out_root: str, *,
     if ckpt:
         linked_ds = ckpt.run_stage("linked", linked_stage, fingerprint)
     else:
-        linked_ds = linker.apply(triples_ds, dict_ref=dict_ref,
-                                 concurrency=cfg.link_concurrency,
-                                 batch_size=cfg.link_batch_size)
-        # the streaming path consumes linked twice (mapping + canon);
-        # materialize once so extraction/linking doesn't run twice.
-        # Coalesce: actor pools emit one small block per batch, and
-        # per-block overhead taxes every downstream exchange
-        linked_ds = linked_ds.repartition(128).materialize()
+        # streaming: ONE fused extract+link actor pool (checkpointed
+        # mode keeps the stages separate for resume granularity).
+        # Materialize once — consumed twice (mapping + canon); coalesce
+        # because actor pools emit one small block per batch
+        linked_ds = linker.apply_fused(
+            text_ds, dict_ref=dict_ref, lang=cfg.lang,
+            concurrency=cfg.link_concurrency,
+            batch_size=cfg.triples_batch_size).repartition(128).materialize()
 
     mark("triples+linked")
 

@@ -146,6 +146,41 @@ class EntityLinker:
                 .append_column("obj_resolved", pa.array(orr, pa.bool_())))
 
 
+class FusedExtractLink:
+    """One actor = triple extraction + linking (grammar AND alias index
+    built once per actor). Halves actor-pool count and removes the
+    intermediate block handoff in the streaming hot path; the
+    checkpointed pipeline keeps the stages separate for per-stage
+    resume granularity."""
+
+    def __init__(self, dict_ref=None, dict_table: pa.Table | None = None):
+        from .triples import TripleExtractor
+
+        self.extract = TripleExtractor()
+        self.link = EntityLinker(dict_ref=dict_ref, dict_table=dict_table)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return self.link(self.extract(batch))
+
+
+def apply_fused(text_ds, dict_ref=None, dict_table=None,
+                concurrency: int | tuple = (1, 4), batch_size: int = 2048,
+                lang: str | None = "en"):
+    """text Dataset → linked Dataset in ONE actor-pool stage."""
+    import pyarrow.compute as pc
+
+    ds = text_ds
+    if lang is not None:
+        ds = ds.map_batches(
+            lambda t, _lang=lang: t.filter(pc.equal(t["lang"], _lang)),
+            batch_format="pyarrow")
+    kwargs = {"dict_ref": dict_ref} if dict_ref is not None else \
+        {"dict_table": dict_table}
+    return ds.map_batches(FusedExtractLink, batch_format="pyarrow",
+                          batch_size=batch_size, concurrency=concurrency,
+                          fn_constructor_kwargs=kwargs)
+
+
 def apply(triples_ds, dict_ref=None, dict_table=None,
           concurrency: int | tuple = (1, 4), batch_size: int = 1024):
     """triples Dataset → linked Dataset (actor pool, broadcast dictionary)."""

