@@ -430,11 +430,9 @@ def run_gff(gff_path: str, out_dir: str, fmt: str = "gcf") -> dict:
             ray.data.from_arrow(pa.Table.from_pylist(edge_rows)))
         edges_ds.sort(["src", "type", "dst", "pred"]).write_parquet(edges_dir)
     else:
-        os.makedirs(edges_dir, exist_ok=True)
-        import pyarrow.parquet as pq
+        from ..stages.graph import write_empty_parts
 
-        pq.write_table(EDGES_SCHEMA.empty_table(),
-                       os.path.join(edges_dir, "part-00000.parquet"))
+        write_empty_parts(edges_dir, EDGES_SCHEMA)
     # nodes are assembled driver-side (bounded per-sequence output);
     # direct write also guarantees a file exists when 0 rows
     import pyarrow.parquet as _pq

@@ -97,6 +97,32 @@ def run(pages_path: str, dict_path: str, out_root: str, *,
     if cfg.verify_text and "text" not in cfg.input_columns:
         cfg.input_columns = tuple(cfg.input_columns) + ("text",)
     pages = _read_pages(pages_path, cfg)
+
+    if pages.count() == 0:
+        # empty input → schema-correct empty graph, through the normal
+        # commit machinery so stale outputs are cleared and the
+        # _SUCCESS/manifest contract holds
+        import shutil as _shutil
+
+        nodes_dir = os.path.join(out_root, "nodes")
+        edges_dir = os.path.join(out_root, "edges")
+        empty_fp = f"{pages_path}:0:empty"
+        if ckpt:
+            ckpt.run_stage(
+                "nodes",
+                lambda tmp: graph.write_empty_parts(tmp, graph.NODES_SCHEMA),
+                empty_fp)
+            ckpt.run_stage(
+                "edges",
+                lambda tmp: graph.write_empty_parts(tmp, graph.EDGES_SCHEMA),
+                empty_fp)
+        else:
+            for d, schema in ((nodes_dir, graph.NODES_SCHEMA),
+                              (edges_dir, graph.EDGES_SCHEMA)):
+                _shutil.rmtree(d, ignore_errors=True)
+                graph.write_empty_parts(d, schema)
+        return {"out_root": out_root, "nodes_dir": nodes_dir,
+                "edges_dir": edges_dir, "n_canonical_entities": 0}
     # fingerprint = input identity + stage-format version: bumping the
     # version invalidates checkpoints whose committed schema changed
     fingerprint = f"{pages_path}:{pages.count()}:fmt2:vt{int(cfg.verify_text)}"

@@ -300,3 +300,15 @@ def sort_and_write(nodes_ds, edges_ds, out_dir: str):
 
 def empty_edges_table() -> pa.Table:
     return EDGES_SCHEMA.empty_table()
+
+
+def write_empty_parts(out_dir: str, schema: pa.Schema) -> None:
+    """Write a schema-correct zero-row parquet part (Ray writes no files
+    for empty datasets, which breaks downstream readers)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    pq.write_table(schema.empty_table(),
+                   os.path.join(out_dir, "part-00000.parquet"))

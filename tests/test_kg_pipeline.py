@@ -143,3 +143,46 @@ def test_streaming_equals_checkpointed(kg_run, small_corpus, tmp_path_factory):
                   out2, checkpointed=False)
     pd.testing.assert_frame_equal(_read(res2["nodes_dir"]), _read(kg_run["nodes_dir"]))
     pd.testing.assert_frame_equal(_read(res2["edges_dir"]), _read(kg_run["edges_dir"]))
+
+
+def test_empty_input_produces_empty_graph(ray_session, tmp_path):
+    """Zero pages → schema-correct empty node/edge tables, no crash."""
+    import pyarrow.parquet as pq2
+
+    from gfftoneo4j_ray.gen.pages import PAGES_SCHEMA, dictionary_table
+
+    d = tmp_path / "pages"
+    os.makedirs(d)
+    pq2.write_table(PAGES_SCHEMA.empty_table(), str(d / "part-0.parquet"))
+    dict_p = str(tmp_path / "dict.parquet")
+    pq2.write_table(dictionary_table(), dict_p)
+    for mode in (True, False):
+        res = kg.run(str(d), dict_p, str(tmp_path / f"out{mode}"),
+                     checkpointed=mode, resume=False)
+        nodes = pq2.read_table(res["nodes_dir"])
+        edges = pq2.read_table(res["edges_dir"])
+        assert nodes.num_rows == 0 and edges.num_rows == 0
+        assert "node_id" in nodes.schema.names
+        assert "src" in edges.schema.names
+
+
+def test_empty_input_clears_stale_output(ray_session, small_corpus, tmp_path):
+    """A prior non-empty run's outputs must not leak through an
+    empty-input rerun into the same out_root."""
+    import pyarrow.parquet as pq2
+
+    from gfftoneo4j_ray.gen.pages import PAGES_SCHEMA
+
+    out = str(tmp_path / "out")
+    kg.run(f"{small_corpus}/pages", f"{small_corpus}/dictionary.parquet",
+           out, checkpointed=True)
+    assert pq2.read_table(os.path.join(out, "nodes")).num_rows > 0
+    d = tmp_path / "empty_pages"
+    os.makedirs(d)
+    pq2.write_table(PAGES_SCHEMA.empty_table(), str(d / "part-0.parquet"))
+    res = kg.run(str(d), f"{small_corpus}/dictionary.parquet", out,
+                 checkpointed=True, resume=True)
+    assert pq2.read_table(res["nodes_dir"]).num_rows == 0
+    assert pq2.read_table(res["edges_dir"]).num_rows == 0
+    # the commit contract holds on the empty path too
+    assert os.path.exists(os.path.join(out, "nodes", "_SUCCESS.json"))
