@@ -68,7 +68,15 @@ def _ensure_kg_run(sf_dir: str) -> dict:
         pq.write_table(dictionary_table(), dict_path)
     pages_path = os.path.join(out, "pages")
     if not os.path.exists(os.path.join(pages_path, "_DERIVED")):
-        derive_pages(sf_dir).write_parquet(pages_path)
+        # atomic: write to tmp, rename, then marker — a crash mid-write
+        # cannot leave a half (or doubled) corpus behind
+        import shutil
+
+        tmp = pages_path + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(pages_path, ignore_errors=True)
+        derive_pages(sf_dir).write_parquet(tmp)
+        os.rename(tmp, pages_path)
         open(os.path.join(pages_path, "_DERIVED"), "w").write(sf_dir)
     return kg.run(pages_path, dict_path, out, checkpointed=True, resume=True)
 

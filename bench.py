@@ -46,9 +46,14 @@ def build_input_once() -> str:
     d = _pages_cache_dir()
     marker = os.path.join(d, "_DONE")
     if not os.path.exists(marker):
+        # atomic: tmp dir + rename + marker (a crash mid-write must not
+        # leave a partial or doubled corpus)
+        tmp = d + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree(d, ignore_errors=True)
         derive_pages(SF_DIR, repeat=REPEAT,
-                     fast=(REPEAT >= 16)).write_parquet(d)
+                     fast=(REPEAT >= 16)).write_parquet(tmp)
+        os.rename(tmp, d)
         open(marker, "w").write(SF_DIR)
     # warm page cache
     import pyarrow.parquet as pq

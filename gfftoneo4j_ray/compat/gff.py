@@ -400,7 +400,10 @@ def run_gff(gff_path: str, out_dir: str, fmt: str = "gcf") -> dict:
         raise ValueError(f"unknown format {fmt!r}; known: {sorted(READERS)}")
 
     lines = ray.data.read_text(gff_path)
-    records = lines.map_batches(parse_lines_batch, batch_format="pyarrow")
+    # materialize the parsed records once: clean + quarantine views
+    # would otherwise each re-read and re-parse the whole file
+    records = lines.map_batches(parse_lines_batch,
+                                batch_format="pyarrow").materialize()
     clean = records.map_batches(
         lambda t: t.filter(pc.is_null(t["_malformed"])).drop_columns(
             ["_malformed"]),

@@ -36,11 +36,8 @@ def text_stats_batch(batch: pa.Table, text_col: str = "text",
     """Vectorized token/char/space counts + scaled alpha ratio."""
     text = batch[text_col]
     n_chars = pc.utf8_length(text)
-    # tokens: split on whitespace runs, count non-empty — matches the
+    # tokens: count non-empty whitespace-separated tokens — matches the
     # oracle's list_filter(regexp_split_to_array(...), x -> x <> '')
-    splits = pc.split_pattern_regex(text, r"\s+")
-    n_tokens_raw = pc.list_value_length(splits)
-    # subtract empty tokens produced by leading/trailing whitespace
     texts = text.to_pylist()
     n_tokens = pa.array(
         [len([w for w in _WS_SPLIT.split(t) if w]) if t else 0 for t in texts],
@@ -51,7 +48,6 @@ def text_stats_batch(batch: pa.Table, text_col: str = "text",
     nc = np.maximum(n_chars.to_numpy(zero_copy_only=False).astype(np.float64), 1.0)
     alpha_c = np.floor(
         alpha.to_numpy().astype(np.float64) / nc * 10000 + 0.5).astype(np.int64)
-    del n_tokens_raw
     return pa.table({
         id_col: batch[id_col],
         "n_chars": pc.cast(n_chars, pa.int64()),

@@ -40,11 +40,11 @@ def _bucket_column(t: pa.Table, keys: list[str], num_buckets: int) -> pa.Array:
     (Rust, no Python-object conversion); bucket assignment only needs
     same-key → same-bucket within one run, which any of these give."""
     if len(keys) == 1 and pa.types.is_integer(t.schema.field(keys[0]).type):
-        h = pc.cast(t[keys[0]], pa.uint64())
-        return pc.cast(
-            pc.bit_wise_and(h, np.uint64(num_buckets - 1))
-            if (num_buckets & (num_buckets - 1)) == 0
-            else pc.mod(h, np.uint64(num_buckets)), pa.int32())
+        # two's-complement wrap (numpy astype), NOT an arrow checked
+        # cast — negative keys (e.g. a -1 sentinel) must bucket fine
+        v = t[keys[0]].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = v.astype(np.uint64) % np.uint64(num_buckets)
+        return pa.array(h.astype(np.int32), pa.int32())
     try:
         import polars as pl
 

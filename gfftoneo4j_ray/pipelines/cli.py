@@ -27,8 +27,9 @@ def build_parser() -> argparse.ArgumentParser:
         description="Ray-Data-native knowledge-graph construction")
     p.add_argument("--input", "-i", required=True,
                    help="pages Parquet path/dir (url, warc_ts, html, text, lang)")
-    p.add_argument("--dictionary", "-d", required=True,
-                   help="alias dictionary parquet")
+    p.add_argument("--dictionary", "-d", default=None,
+                   help="alias dictionary parquet (default: the "
+                        "profile's dictionary_builder)")
     p.add_argument("--output", "-o", required=True, help="output root dir")
     p.add_argument("--profile", "-t", default="webtext",
                    help="pipeline profile name (see pipelines/profiles.py)")
@@ -50,19 +51,41 @@ def main(argv=None) -> int:
 
     profile = get_profile(args.profile)  # fail fast on unknown name
 
+    import os
+
     import ray
 
     if not ray.is_initialized():
-        ray.init(address="local", num_cpus=args.num_cpus,
-                 include_dashboard=False, ignore_reinit_error=True,
-                 logging_level="ERROR")
+        # honor an existing cluster (ray job submit sets RAY_ADDRESS);
+        # only fall back to a private local instance when none is set
+        address = os.environ.get("RAY_ADDRESS", "local")
+        kwargs = {"address": address, "ignore_reinit_error": True,
+                  "logging_level": "ERROR"}
+        if address == "local":
+            kwargs.update(num_cpus=args.num_cpus, include_dashboard=False)
+        ray.init(**kwargs)
 
     from . import kg
 
+    dict_path = args.dictionary
+    if dict_path is None:
+        if profile.dictionary_builder is None:
+            raise SystemExit(
+                f"--dictionary required: profile {profile.name!r} has no "
+                "dictionary_builder")
+        import os as _os
+
+        import pyarrow.parquet as _pq
+
+        _os.makedirs(args.output, exist_ok=True)
+        dict_path = _os.path.join(args.output, "profile_dictionary.parquet")
+        _pq.write_table(profile.dictionary_builder(), dict_path)
+
     pool = (1, max(1, args.concurrency))
     cfg = kg.KgConfig(lang=profile.lang, triples_concurrency=pool,
-                      link_concurrency=pool, canon_concurrency=pool)
-    res = kg.run(args.input, args.dictionary, args.output, cfg=cfg,
+                      link_concurrency=pool, canon_concurrency=pool,
+                      extractor_cls=profile.triple_extractor_cls)
+    res = kg.run(args.input, dict_path, args.output, cfg=cfg,
                  resume=args.resume, checkpointed=not args.streaming)
     print(json.dumps(res))
     ray.shutdown()

@@ -38,7 +38,8 @@ class KgConfig:
     link_concurrency: int | tuple = (1, 4)
     link_batch_size: int = 8192
     canon_concurrency: int | tuple = (1, 4)
-    salt_buckets: int = 16
+    # extraction strategy (profile surface); None = stages.triples.TripleExtractor
+    extractor_cls: type | None = None
     input_columns: tuple = ("url", "warc_ts", "html", "lang")
     # read the input's reference `text` column too and record the
     # per-row byte-identity invariant into lineage (input_hint)
@@ -65,6 +66,43 @@ def _load_dictionary(dict_path: str) -> pa.Table:
     import pyarrow.parquet as pq
 
     return pq.read_table(dict_path)
+
+
+def _text_schema(verify_text: bool) -> pa.Schema:
+    fields = [("url", pa.string()), ("warc_ts", pa.timestamp("us")),
+              ("text", pa.string()), ("lang", pa.string()),
+              ("quarantine_reason", pa.string())]
+    if verify_text:
+        fields.append(("text_match", pa.bool_()))
+    return pa.schema(fields)
+
+
+def _linked_schema() -> pa.Schema:
+    from ..stages.triples import TRIPLES_OUT_SCHEMA
+
+    fields = [f for f in TRIPLES_OUT_SCHEMA if f.name != "sent"]
+    for side in ("subj", "obj"):
+        fields += [pa.field(f"{side}_key", pa.string()),
+                   pa.field(f"{side}_type", pa.string()),
+                   pa.field(f"{side}_resolved", pa.bool_())]
+    return pa.schema(fields)
+
+
+def _canonical_schema() -> pa.Schema:
+    fields = list(_linked_schema())
+    for side in ("subj", "obj"):
+        fields += [pa.field(f"{side}_canon", pa.string()),
+                   pa.field(f"{side}_node_id", pa.string())]
+    return pa.schema(fields)
+
+
+def _write_stage(ds, tmp: str, fallback_schema: pa.Schema) -> None:
+    """write_parquet + guarantee ≥1 schema-correct part file: Ray writes
+    NOTHING for an empty dataset (e.g. all pages filtered by lang),
+    which breaks every downstream reader of the committed stage."""
+    ds.write_parquet(tmp, compression="zstd")
+    if not any(f.endswith(".parquet") for f in os.listdir(tmp)):
+        graph.write_empty_parts(tmp, fallback_schema)
 
 
 def run(pages_path: str, dict_path: str, out_root: str, *,
@@ -125,15 +163,18 @@ def run(pages_path: str, dict_path: str, out_root: str, *,
                 "edges_dir": edges_dir, "n_canonical_entities": 0}
     # fingerprint = input identity + stage-format version: bumping the
     # version invalidates checkpoints whose committed schema changed
-    fingerprint = f"{pages_path}:{pages.count()}:fmt2:vt{int(cfg.verify_text)}"
+    extractor_name = (cfg.extractor_cls or triples.TripleExtractor).__name__
+    fingerprint = (f"{pages_path}:{pages.count()}:fmt2"
+                   f":vt{int(cfg.verify_text)}:{extractor_name}")
 
     # ---- stage: text ------------------------------------------------------
     # ONE extraction pass: commit ALL rows (clean + quarantined, with the
     # reason column); the clean/quarantine views are cheap column-pruned
     # filters over the committed Parquet — never a second extraction.
     def text_stage(tmp: str) -> dict:
-        extract_text.apply(pages,
-                           batch_size=cfg.extract_batch_size).write_parquet(tmp, compression="zstd")
+        _write_stage(extract_text.apply(pages,
+                                        batch_size=cfg.extract_batch_size),
+                     tmp, _text_schema(cfg.verify_text))
         return {}
 
     if ckpt:
@@ -170,9 +211,15 @@ def run(pages_path: str, dict_path: str, out_root: str, *,
 
     # ---- stage: triples ---------------------------------------------------
     def triples_stage(tmp: str) -> dict:
-        triples.apply(text_ds, concurrency=cfg.triples_concurrency,
-                      batch_size=cfg.triples_batch_size,
-                      lang=cfg.lang).repartition(128).write_parquet(tmp, compression="zstd")
+        from ..stages.triples import TRIPLES_OUT_SCHEMA
+
+        _write_stage(triples.apply(text_ds,
+                                   concurrency=cfg.triples_concurrency,
+                                   batch_size=cfg.triples_batch_size,
+                                   lang=cfg.lang,
+                                   extractor_cls=cfg.extractor_cls)
+                     .repartition(128),
+                     tmp, TRIPLES_OUT_SCHEMA)
         return {}
 
     if ckpt:
@@ -180,14 +227,15 @@ def run(pages_path: str, dict_path: str, out_root: str, *,
     else:
         triples_ds = triples.apply(text_ds, concurrency=cfg.triples_concurrency,
                                    batch_size=cfg.triples_batch_size,
-                                   lang=cfg.lang)
+                                   lang=cfg.lang,
+                                   extractor_cls=cfg.extractor_cls)
 
     # ---- stage: linked ----------------------------------------------------
     def linked_stage(tmp: str) -> dict:
-        linker.apply(triples_ds, dict_ref=dict_ref,
-                     concurrency=cfg.link_concurrency,
-                     batch_size=cfg.link_batch_size).repartition(128) \
-            .write_parquet(tmp, compression="zstd")
+        _write_stage(linker.apply(triples_ds, dict_ref=dict_ref,
+                                  concurrency=cfg.link_concurrency,
+                                  batch_size=cfg.link_batch_size)
+                     .repartition(128), tmp, _linked_schema())
         return {}
 
     if ckpt:
@@ -200,7 +248,8 @@ def run(pages_path: str, dict_path: str, out_root: str, *,
         linked_ds = linker.apply_fused(
             text_ds, dict_ref=dict_ref, lang=cfg.lang,
             concurrency=cfg.link_concurrency,
-            batch_size=cfg.triples_batch_size).repartition(128).materialize()
+            batch_size=cfg.triples_batch_size,
+            extractor_cls=cfg.extractor_cls).repartition(128).materialize()
 
     mark("triples+linked")
 
@@ -212,7 +261,7 @@ def run(pages_path: str, dict_path: str, out_root: str, *,
 
     if ckpt:
         def canon_stage(tmp: str) -> dict:
-            canon_ds.repartition(128).write_parquet(tmp, compression="zstd")
+            _write_stage(canon_ds.repartition(128), tmp, _canonical_schema())
             return {"canonical_entities": len({v[1] for v in mapping.values()})}
         canon_committed = ckpt.run_stage("canonical", canon_stage, fingerprint)
     else:
@@ -272,10 +321,11 @@ def run(pages_path: str, dict_path: str, out_root: str, *,
 
     if ckpt:
         def nodes_stage(tmp: str) -> dict:
-            nodes_ds.sort("node_id").write_parquet(tmp, compression="zstd")
+            _write_stage(nodes_ds.sort("node_id"), tmp, graph.NODES_SCHEMA)
             return {}
         def edges_stage(tmp: str) -> dict:
-            edges_ds.sort(["src", "type", "dst", "pred"]).write_parquet(tmp, compression="zstd")
+            _write_stage(edges_ds.sort(["src", "type", "dst", "pred"]),
+                         tmp, graph.EDGES_SCHEMA)
             return {}
         with ThreadPoolExecutor(max_workers=2) as ex:
             fn = ex.submit(ckpt.run_stage, "nodes", nodes_stage, fingerprint)
@@ -286,10 +336,11 @@ def run(pages_path: str, dict_path: str, out_root: str, *,
     else:
         os.makedirs(out_root, exist_ok=True)
         with ThreadPoolExecutor(max_workers=2) as ex:
-            fn = ex.submit(lambda: nodes_ds.sort("node_id")
-                           .write_parquet(nodes_dir, compression="zstd"))
-            fe = ex.submit(lambda: edges_ds.sort(["src", "type", "dst", "pred"])
-                           .write_parquet(edges_dir, compression="zstd"))
+            fn = ex.submit(lambda: _write_stage(
+                nodes_ds.sort("node_id"), nodes_dir, graph.NODES_SCHEMA))
+            fe = ex.submit(lambda: _write_stage(
+                edges_ds.sort(["src", "type", "dst", "pred"]), edges_dir,
+                graph.EDGES_SCHEMA))
             fn.result()
             fe.result()
         mark("sort+write")

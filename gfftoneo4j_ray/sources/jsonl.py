@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import base64
 import json
+from datetime import timezone as _timezone
 
 import pyarrow as pa
 
@@ -91,7 +92,9 @@ def write_pages_jsonl(pages_table: pa.Table, path: str) -> str:
             f.write(json.dumps({
                 "url": row["url"],
                 "warc_ts": (row["warc_ts"] if isinstance(row["warc_ts"], int)
-                            else int(row["warc_ts"].timestamp() * 1_000_000)),
+                            else int(row["warc_ts"]
+                                     .replace(tzinfo=_timezone.utc)
+                                     .timestamp() * 1_000_000)),
                 "html": base64.b64encode(row["html"]).decode("ascii"),
                 "text": row.get("text", ""),
                 "lang": row["lang"],

@@ -50,7 +50,7 @@ def _entity_sentences(doc_id: int, seed: int, n_sent: int) -> list[str]:
     return sents
 
 
-_SENT_BANK: list[str] | None = None
+_SENT_BANKS: dict[int, list[str]] = {}
 
 
 def _sent_bank(seed: int = SEED, size: int = 4096) -> list[str]:
@@ -59,10 +59,9 @@ def _sent_bank(seed: int = SEED, size: int = 4096) -> list[str]:
     Lets large bench corpora derive pages by index arithmetic instead
     of per-page RNG — same statistical workload for the pipeline,
     ~40× faster generation. Deterministic: pure function of seed."""
-    global _SENT_BANK
-    if _SENT_BANK is None:
-        _SENT_BANK = _entity_sentences(0, seed * 31 + 7, size)
-    return _SENT_BANK
+    if seed not in _SENT_BANKS:
+        _SENT_BANKS[seed] = _entity_sentences(0, seed * 31 + 7, size)
+    return _SENT_BANKS[seed]
 
 
 def derive_pages_fast_batch(t: pa.Table, seed: int = SEED,
@@ -137,7 +136,7 @@ def derive_pages(sf_dir: str, seed: int = SEED, lang_override: str | None = None
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text", "lang"])
     pages = ds.map_batches(
-        functools.partial(kernel, repeat=repeat),
+        functools.partial(kernel, seed=seed, repeat=repeat),
         batch_format="pyarrow")
     if lang_override is not None:
         pages = pages.map_batches(

@@ -242,11 +242,8 @@ def ngram_jaccard_pairs(docs_ds, max_doc_id: int, scale: int = 10000):
                         pa.bool_())
         t = t.filter(mask)
         ids, toks = [], []
-        sizes_id, sizes_n = [], []
         for d, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
             ts = _token_set(x or "")
-            sizes_id.append(d)
-            sizes_n.append(len(ts))
             for w in ts:
                 ids.append(d)
                 toks.append(w)

@@ -153,10 +153,11 @@ class FusedExtractLink:
     checkpointed pipeline keeps the stages separate for per-stage
     resume granularity."""
 
-    def __init__(self, dict_ref=None, dict_table: pa.Table | None = None):
+    def __init__(self, dict_ref=None, dict_table: pa.Table | None = None,
+                 extractor_cls: type | None = None):
         from .triples import TripleExtractor
 
-        self.extract = TripleExtractor()
+        self.extract = (extractor_cls or TripleExtractor)()
         self.link = EntityLinker(dict_ref=dict_ref, dict_table=dict_table)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -165,7 +166,7 @@ class FusedExtractLink:
 
 def apply_fused(text_ds, dict_ref=None, dict_table=None,
                 concurrency: int | tuple = (1, 4), batch_size: int = 2048,
-                lang: str | None = "en"):
+                lang: str | None = "en", extractor_cls: type | None = None):
     """text Dataset → linked Dataset in ONE actor-pool stage."""
     import pyarrow.compute as pc
 
@@ -176,6 +177,8 @@ def apply_fused(text_ds, dict_ref=None, dict_table=None,
             batch_format="pyarrow")
     kwargs = {"dict_ref": dict_ref} if dict_ref is not None else \
         {"dict_table": dict_table}
+    if extractor_cls is not None:
+        kwargs["extractor_cls"] = extractor_cls
     return ds.map_batches(FusedExtractLink, batch_format="pyarrow",
                           batch_size=batch_size, concurrency=concurrency,
                           fn_constructor_kwargs=kwargs)

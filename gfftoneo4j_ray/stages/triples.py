@@ -115,7 +115,7 @@ class TripleExtractor:
 
 
 def apply(text_ds, concurrency: int | tuple = (1, 4), batch_size: int = 512,
-          lang: str | None = "en"):
+          lang: str | None = "en", extractor_cls: type | None = None):
     """text Dataset → triples Dataset on an actor pool.
 
     ``lang`` filters pages before extraction (the header-drop analogue,
@@ -128,5 +128,6 @@ def apply(text_ds, concurrency: int | tuple = (1, 4), batch_size: int = 512,
         ds = ds.map_batches(
             lambda t, _lang=lang: t.filter(pc.equal(t["lang"], _lang)),
             batch_format="pyarrow")
-    return ds.map_batches(TripleExtractor, batch_format="pyarrow",
+    return ds.map_batches(extractor_cls or TripleExtractor,
+                          batch_format="pyarrow",
                           batch_size=batch_size, concurrency=concurrency)
