@@ -105,6 +105,45 @@ def q_kg_edges(sf_dir: str):
     return ray.data.read_parquet(res["edges_dir"])
 
 
+def q_kg_triples_pr(sf_dir: str):
+    """Precision/recall of the DISTRIBUTED extraction path vs the
+    standalone oracle module run driver-side over the same derived
+    pages — the P/R ≥ 0.95 contract as a queryable artifact.
+
+    One row: (n_expected, n_got, n_match, precision_c, recall_c) with
+    the shared floor(x*10000+0.5) scaling."""
+    import pyarrow as pa
+
+    from gfftoneo4j_ray.stages.triples import extract_triples
+
+    got = q_kg_triples(sf_dir).to_pandas()
+    g = set(map(tuple, got[["url", "sent_idx", "subj", "pred", "obj"]]
+                .astype({"sent_idx": "int64"}).itertuples(index=False)))
+    w = set()
+    for b in derive_pages(sf_dir).iter_batches(batch_format="pyarrow",
+                                               batch_size=1024):
+        for url, text, lang in zip(b["url"].to_pylist(),
+                                   b["text"].to_pylist(),
+                                   b["lang"].to_pylist()):
+            if lang != "en":
+                continue
+            for idx, s, p, o in extract_triples(text):
+                w.add((url, idx, s, p, o))
+    inter = len(g & w)
+    import math
+
+    def scaled(x):
+        return int(math.floor(x * 10000 + 0.5))
+
+    return pa.table({
+        "n_expected": pa.array([len(w)], pa.int64()),
+        "n_got": pa.array([len(g)], pa.int64()),
+        "n_match": pa.array([inter], pa.int64()),
+        "precision_c": pa.array([scaled(inter / max(len(g), 1))], pa.int64()),
+        "recall_c": pa.array([scaled(inter / max(len(w), 1))], pa.int64()),
+    })
+
+
 def q_mm_payload_features(sf_dir: str):
     feats = multimodal.apply(derive_pages(sf_dir))
     # project list column away for the rows-only check
@@ -217,6 +256,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_ann_ivf": q_ann_ivf,                # rows-only (approximate)
         # KG pipeline (non-SQL-expressible: html derivation + extraction)
         "kg_triples": q_kg_triples,
+        "kg_triples_pr": q_kg_triples_pr,      # P/R vs the oracle extractor
         "kg_nodes": q_kg_nodes,
         "kg_edges": q_kg_edges,
         "mm_payload_features": q_mm_payload_features,
