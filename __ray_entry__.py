@@ -242,6 +242,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_anti_join": R.q_anti_join,
         "q_topk_per_group": R.q_topk_per_group,
         "q_session_windows": R.q_session_windows,
+        "q_asof_join": R.q_asof_join,
         # text analysis / dedup / similarity (training-data ops)
         "q_text_stats": q_text_stats,
         "q_dedup_exact": q_dedup_exact,
@@ -391,6 +392,23 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_events,
                    CAST(MAX(tus) - MIN(tus) AS BIGINT) AS dur_us
             FROM y GROUP BY user_id, session_id
+        """,
+        "q_asof_join": r"""
+            WITH subs AS (
+                SELECT user_id, epoch_us(ts) AS tus, MAX(event_id) AS event_id
+                FROM events WHERE event_type = 'signup'
+                GROUP BY user_id, epoch_us(ts)
+            ),
+            buys AS (
+                SELECT user_id, event_id, epoch_us(ts) AS tus
+                FROM events WHERE event_type = 'purchase'
+            )
+            SELECT b.event_id,
+                   s.event_id AS signup_event_id,
+                   CAST(b.tus - s.tus AS BIGINT) AS gap_us
+            FROM buys b
+            ASOF JOIN subs s
+              ON b.user_id = s.user_id AND b.tus >= s.tus
         """,
         "q_text_stats": r"""
             SELECT doc_id,

@@ -458,6 +458,51 @@ def q_session_windows(sf_dir: str):
     return ds.groupby("user_id").map_groups(sessions, batch_format="pyarrow")
 
 
+def q_asof_join(sf_dir: str):
+    """As-of join (guide pattern): for each 'purchase' event, the most
+    recent prior-or-equal 'signup' event of the same user. Per-user
+    sorted groups + numpy searchsorted inside map_groups; signups are
+    deduped per (user, ts) keeping max event_id so tie semantics match
+    DuckDB's ASOF JOIN exactly."""
+    import numpy as np
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts",
+                                          "event_type"])
+
+    def asof(g: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = g.to_pandas()
+        df["tus"] = df["ts"].astype("int64")
+        buys = df[df.event_type == "purchase"].sort_values(
+            ["tus", "event_id"])
+        subs = df[df.event_type == "signup"]
+        empty = pa.schema([("event_id", pa.int64()),
+                           ("signup_event_id", pa.int64()),
+                           ("gap_us", pa.int64())]).empty_table()
+        if len(buys) == 0 or len(subs) == 0:
+            return empty
+        # dedupe signups per ts: keep max event_id (deterministic ties)
+        subs = subs.sort_values(["tus", "event_id"]) \
+            .groupby("tus", as_index=False).last()
+        pos = np.searchsorted(subs["tus"].to_numpy(),
+                              buys["tus"].to_numpy(), side="right") - 1
+        mask = pos >= 0
+        if not mask.any():
+            return empty
+        b = buys[mask]
+        p = pos[mask]
+        return pa.table({
+            "event_id": pa.array(b["event_id"].to_numpy(), pa.int64()),
+            "signup_event_id": pa.array(
+                subs["event_id"].to_numpy()[p], pa.int64()),
+            "gap_us": pa.array(
+                b["tus"].to_numpy() - subs["tus"].to_numpy()[p], pa.int64()),
+        })
+
+    return ds.groupby("user_id").map_groups(asof, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # U: set ops (§2.6)
 # ---------------------------------------------------------------------------
