@@ -134,21 +134,35 @@ def minhash_candidates(docs_ds, num_perm: int = 64, bands: int = 16,
         MinHasher, batch_format="pyarrow", concurrency=concurrency,
         fn_constructor_kwargs={"num_perm": num_perm, "bands": bands})
 
-    def pairs(g: pa.Table) -> pa.Table:
-        ids = sorted(set(g["doc_id"].to_pylist()))
+    # bucket the bucket-space: groupby on a small int, per-(band,hash)
+    # pair generation via a pandas groupby INSIDE each bucket — avoids
+    # Ray's per-group Python dispatch over tens of thousands of groups
+    from ..ops.hashagg import _bucket_column, hash_aggregate
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "bucket", _bucket_column(t, ["band_id", "band_hash"], 64))
+
+    def pairs_in_bucket(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
         a, b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i])
-                b.append(ids[j])
+        for _, grp in df.groupby(["band_id", "band_hash"], sort=True):
+            ids = sorted(set(grp["doc_id"]))
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    a.append(ids[i])
+                    b.append(ids[j])
         return pa.table({"doc_a": pa.array(a, pa.int64()),
                          "doc_b": pa.array(b, pa.int64())})
 
-    cand = band_rows.groupby(["band_id", "band_hash"]).map_groups(
-        pairs, batch_format="pyarrow")
-    # dedup pairs found in multiple bands
-    return cand.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow")
+    cand = band_rows.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(
+            lambda g: pairs_in_bucket(g.drop_columns(["bucket"])),
+            batch_format="pyarrow")
+    # dedup pairs found in multiple bands (bucketed distinct)
+    return hash_aggregate(cand, ["doc_a", "doc_b"],
+                          [("doc_a", "count", "_n")], num_buckets=32) \
+        .select_columns(["doc_a", "doc_b"])
 
 
 def jaccard(a: str, b: str) -> float:
