@@ -1,0 +1,168 @@
+"""Distributed bucketed shuffle hash join — the fact×fact join primitive.
+
+The reference's T2 lookup (reference:
+src/main/scala/corwur/gffparser/GeneReader.scala:159-163) is
+semantically a join whose build side is co-grouped rows, i.e. a
+shuffle join; the broadcast-lookup pattern elsewhere in this engine
+(ops/relational.q_join_enrich) only covers the dimension-sized build
+side. This operator covers the case where BOTH sides are fact-scale:
+
+  map side   : each side gets ``__jbucket = hash(keys) % B`` (the
+               hashagg layout — reuse of ``_bucket_column`` so one
+               partitioning function serves aggregate and join) plus a
+               ``__jside`` tag; the two sides are padded to one common
+               schema (missing columns filled with typed nulls) so a
+               single ``union`` stream carries both.
+  shuffle    : ONE exchange — ``groupby("__jbucket")``; the key is a
+               small int32, so the sort-based exchange sorts ints, not
+               key tuples, and both sides of every key land in the same
+               bucket by construction.
+  reduce side: per-bucket ``pyarrow.Table.join`` (Acero C++ hash join)
+               after splitting the bucket back into its two sides.
+
+Shuffle volume = |left| + |right| rows, each moved exactly once; hot
+keys are bounded by bucket granularity (salt the key upstream if one
+key exceeds a worker's heap — same contract as hash_aggregate).
+``num_buckets`` is the reduce parallelism: size ≈ 2× cluster cores.
+
+Join types: inner, left (left outer), semi (left semi), anti (left
+anti) — each mapped onto the corresponding Acero join.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from .hashagg import _bucket_column
+
+_ACERO_TYPE = {
+    "inner": "inner",
+    "left": "left outer",
+    "semi": "left semi",
+    "anti": "left anti",
+}
+
+
+def _null_column(n: int, typ: pa.DataType) -> pa.Array:
+    return pa.nulls(n, typ)
+
+
+def hash_join(left_ds, right_ds, on, *, right_on=None, how: str = "inner",
+              num_buckets: int = 64):
+    """Join two Datasets on equality keys via one bucketed shuffle.
+
+    ``on``: left key column name(s). ``right_on``: right key names
+    (default: same as ``on``); right keys are renamed onto the left
+    names in the output. Non-key column names must be disjoint between
+    the sides (rename upstream — no implicit suffixing).
+
+    Output columns: left columns (keys under their left names), then —
+    for inner/left — the right side's non-key columns. semi/anti emit
+    left columns only. Key dtypes must match exactly on both sides
+    (cast upstream): the bucket hash is value-based per dtype, and a
+    silent cross-dtype hash mismatch would drop matches.
+    """
+    if how not in _ACERO_TYPE:
+        raise ValueError(f"how must be one of {sorted(_ACERO_TYPE)}")
+    lkeys = [on] if isinstance(on, str) else list(on)
+    rkeys = ([right_on] if isinstance(right_on, str) else list(right_on)) \
+        if right_on is not None else list(lkeys)
+    if len(lkeys) != len(rkeys):
+        raise ValueError("on and right_on must have the same length")
+
+    # schema() on a LAZY dataset triggers a partial execution that the
+    # later real execution repeats (and nested joins compound it
+    # exponentially) — if the plan doesn't already know its schema,
+    # pin the side in the object store first. The exchange would
+    # materialize the same bytes anyway, so this costs no extra I/O.
+    def _ensure_schema(ds):
+        s = ds.schema(fetch_if_missing=False)
+        if s is None:
+            ds = ds.materialize()
+            s = ds.schema()
+        return ds, s.base_schema
+
+    left_ds, lschema = _ensure_schema(left_ds)
+    right_ds, rschema = _ensure_schema(right_ds)
+    lcols = list(lschema.names)
+    rcols_all = list(rschema.names)
+    rpayload = [c for c in rcols_all if c not in rkeys]
+    overlap = (set(lcols) & set(rpayload)) | \
+        (set(rpayload) & set(lkeys))
+    if overlap:
+        raise ValueError(f"non-key column name collision: {sorted(overlap)};"
+                         " rename upstream")
+    for lk, rk in zip(lkeys, rkeys):
+        lt, rt = lschema.field(lk).type, rschema.field(rk).type
+        if lt != rt:
+            raise TypeError(f"key dtype mismatch {lk}:{lt} vs {rk}:{rt};"
+                            " cast upstream")
+
+    # one common layout: left cols (right keys live under left names),
+    # then right payload cols, then side tag + bucket
+    layout = [(c, lschema.field(c).type) for c in lcols] + \
+             [(c, rschema.field(c).type) for c in rpayload]
+
+    def pad_left(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        cols = {c: t[c] for c in lcols}
+        for c, typ in layout[len(lcols):]:
+            cols[c] = _null_column(n, typ)
+        out = pa.table({name: cols[name] for name, _ in layout})
+        out = out.append_column("__jside",
+                                pa.repeat(pa.scalar(0, pa.int8()), n))
+        return out.append_column(
+            "__jbucket", _bucket_column(t, lkeys, num_buckets))
+
+    def pad_right(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        cols = {}
+        for name, typ in layout:
+            if name in lkeys:
+                cols[name] = t[rkeys[lkeys.index(name)]]
+            elif name in rpayload:
+                cols[name] = t[name]
+            else:
+                cols[name] = _null_column(n, typ)
+        out = pa.table({name: cols[name] for name, _ in layout})
+        out = out.append_column("__jside",
+                                pa.repeat(pa.scalar(1, pa.int8()), n))
+        return out.append_column(
+            "__jbucket", _bucket_column(t, rkeys, num_buckets))
+
+    both = left_ds.map_batches(pad_left, batch_format="pyarrow").union(
+        right_ds.map_batches(pad_right, batch_format="pyarrow"))
+
+    jt = _ACERO_TYPE[how]
+    out_names = lcols + (rpayload if how in ("inner", "left") else [])
+
+    def join_bucket(g: pa.Table) -> pa.Table:
+        import numpy as np
+        import pyarrow.compute as pc
+
+        side = g["__jside"]
+        lt = g.filter(pc.equal(side, 0)).select(lcols)
+        rt = g.filter(pc.equal(side, 1)).select(lkeys + rpayload)
+        # Acero rejects nested (list/struct) payload columns, so the
+        # join itself runs on (keys, row-index) only; payloads of any
+        # type are then gathered with `take` (C kernel, null-safe for
+        # the left-outer miss rows)
+        ltk = lt.select(lkeys).append_column(
+            "__lidx", pa.array(np.arange(lt.num_rows, dtype=np.int64)))
+        if how in ("semi", "anti"):
+            keep = ltk.join(rt.select(lkeys), keys=lkeys, right_keys=lkeys,
+                            join_type=jt)
+            return lt.take(keep["__lidx"]).select(out_names)
+        rtk = rt.select(lkeys).append_column(
+            "__ridx", pa.array(np.arange(rt.num_rows, dtype=np.int64)))
+        idx = ltk.join(rtk, keys=lkeys, right_keys=lkeys, join_type=jt,
+                       coalesce_keys=True)
+        left_part = lt.take(idx["__lidx"])
+        cols = {c: left_part[c] for c in lcols}
+        ridx = idx["__ridx"]
+        for c in rpayload:
+            cols[c] = rt[c].take(ridx)
+        return pa.table({name: cols[name] for name in out_names})
+
+    return both.groupby("__jbucket").map_groups(join_bucket,
+                                                batch_format="pyarrow")
