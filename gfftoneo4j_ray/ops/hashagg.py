@@ -58,6 +58,15 @@ def _bucket_column(t: pa.Table, keys: list[str], num_buckets: int) -> pa.Array:
     return pa.array((h % np.uint64(num_buckets)).astype(np.int32), pa.int32())
 
 
+def append_bucket(t: pa.Table, keys: list[str], num_buckets: int,
+                  name: str = "bucket") -> pa.Table:
+    """Append the bucket column, stripping schema metadata first —
+    parquet pandas-metadata dicts on blocks entering a groupby make
+    Ray's schema-dedup hashing fail (log noise in every reduce task)."""
+    return t.replace_schema_metadata(None).append_column(
+        name, _bucket_column(t, keys, num_buckets))
+
+
 def hash_aggregate(ds, keys: str | list[str],
                    aggs: list[tuple[str, str, str]],
                    num_buckets: int = 64):
@@ -79,15 +88,28 @@ def hash_aggregate(ds, keys: str | list[str],
         else:
             plan.append((col, op, f"__p_{out}", _MERGE_OF[op], out))
 
+    def _checked_rename(g: pa.Table, expect_aggs: list[str],
+                        new_names: list[str]) -> pa.Table:
+        # keys-first ordering is what pyarrow 16.x emits; assert rather
+        # than silently mis-assign if an upgrade reorders the output
+        expected = keys + expect_aggs
+        if g.column_names != expected:
+            raise AssertionError(
+                f"pyarrow group_by output order changed: "
+                f"got {g.column_names}, expected {expected}")
+        return g.rename_columns(keys + new_names)
+
     def partial(t: pa.Table) -> pa.Table:
         g = t.group_by(keys).aggregate([(col, op) for col, op, *_ in plan])
-        g = g.rename_columns(keys + [p[2] for p in plan])
+        g = _checked_rename(g, [f"{col}_{op}" for col, op, *_ in plan],
+                            [p[2] for p in plan])
         return g.append_column("bucket", _bucket_column(g, keys, num_buckets))
 
     def final(g: pa.Table) -> pa.Table:
         out = g.group_by(keys).aggregate(
             [(p[2], p[3]) for p in plan])
-        out = out.rename_columns(keys + [p[2] for p in plan])
+        out = _checked_rename(out, [f"{p[2]}_{p[3]}" for p in plan],
+                              [p[2] for p in plan])
         cols = {k: out[k] for k in keys}
         for col, op, pname, merge, oname in plan:
             if oname is not None:

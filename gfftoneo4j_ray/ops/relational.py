@@ -130,40 +130,27 @@ def q_lineitem_agg(sf_dir: str):
 
 def q_two_level_rollup(sf_dir: str):
     """Two chained shuffles (G3→G4, the exon→splicing→gene shape):
-    lineitem → per-order quantity, then per-customer totals via a
-    broadcast orders→customer lookup."""
-    import ray
-
+    lineitem → per-order quantity, then orders joined on via the
+    distributed bucketed shuffle hash join (both sides fact-scale; no
+    driver materialization), then per-customer totals."""
     from .hashagg import hash_aggregate
+    from .join import hash_join
 
     li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
     per_order = hash_aggregate(li, "l_orderkey",
                                [("l_quantity", "sum", "order_qty")])
 
-    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]) \
-        .to_pandas()
-    o2c = dict(zip(orders["o_orderkey"], orders["o_custkey"]))
-    o2c_ref = ray.put(o2c)
-
-    # broadcast lookup as STATELESS tasks: ray.get on a local ObjectRef
-    # is zero-copy per task — no actor-pool startup latency; actors are
-    # reserved for state that is expensive to build (linker, extractor)
-    def attach_cust(t: pa.Table, _ref=o2c_ref) -> pa.Table:
-        import ray as _r
-        o2c_local = _r.get(_ref)
-        keys = t["l_orderkey"].to_pylist()
-        cust = [o2c_local.get(k, -1) for k in keys]
-        return t.append_column("c_custkey", pa.array(cust, pa.int64()))
-
-    enriched = per_order.map_batches(attach_cust, batch_format="pyarrow")
-    per_cust = hash_aggregate(enriched, "c_custkey",
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    enriched = hash_join(per_order, orders, on="l_orderkey",
+                         right_on="o_orderkey", how="inner", num_buckets=32)
+    per_cust = hash_aggregate(enriched, "o_custkey",
                               [("order_qty", "sum", "cust_qty_raw"),
                                ("order_qty", "count", "n_orders")],
                               num_buckets=16)
 
     def finalize(t: pa.Table) -> pa.Table:
         return pa.table({
-            "c_custkey": t["c_custkey"],
+            "c_custkey": t["o_custkey"],
             "cust_qty_c": _scaled(t["cust_qty_raw"].to_numpy(zero_copy_only=False)),
             "n_orders": pc.cast(t["n_orders"], pa.int64()),
         })
@@ -175,20 +162,39 @@ def q_group_consistency(sf_dir: str):
     """T4 analogue: a group's derived key must be unique within the
     group, else the group is dropped (exactly-one-distinct constraint,
     reference GeneReader.scala:205-220): orders whose lineitems all
-    share one returnflag → (o_orderkey, the_flag)."""
+    share one returnflag → (o_orderkey, the_flag).
+
+    Bucketed: the exchange groups hash(orderkey) % 32 small ints; whole
+    buckets are processed with one vectorized run-boundary pass (a
+    sorted run is all-equal iff its endpoints are equal) — no per-group
+    Python dispatch over thousands of orders."""
+    from .hashagg import append_bucket
+
     ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag"])
 
-    def per_group(g: pa.Table) -> pa.Table:
-        flags = pc.unique(g["l_returnflag"])
-        if len(flags) != 1:
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return append_bucket(t, ["l_orderkey"], 32)
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("l_orderkey", "ascending"),
+                       ("l_returnflag", "ascending")])
+        keys = g["l_orderkey"].to_numpy(zero_copy_only=False)
+        flags = g["l_returnflag"].to_numpy(zero_copy_only=False)
+        if len(keys) == 0:
             return pa.schema([("o_orderkey", pa.int64()),
                               ("the_flag", pa.string())]).empty_table()
+        starts = np.r_[0, np.flatnonzero(keys[1:] != keys[:-1]) + 1]
+        ends = np.r_[starts[1:], len(keys)] - 1
+        ok = flags[starts] == flags[ends]
         return pa.table({
-            "o_orderkey": g["l_orderkey"].slice(0, 1),
-            "the_flag": flags,
+            "o_orderkey": pa.array(keys[starts][ok], pa.int64()),
+            "the_flag": pa.array(flags[starts][ok], pa.string()),
         })
 
-    return ds.groupby("l_orderkey").map_groups(per_group, batch_format="pyarrow")
+    return ds.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(
+            lambda g: per_bucket(g.drop_columns(["bucket"])),
+            batch_format="pyarrow")
 
 
 def q_distinct(sf_dir: str):
@@ -274,26 +280,43 @@ def q_sort_topk(sf_dir: str):
 def q_adjacent_pairs(sf_dir: str):
     """O2 analogue (createPairs zip): per user, events sorted by
     (ts, event_id), consecutive pairs with the gap in microseconds —
-    the order-edge chain as a relational query."""
+    the order-edge chain as a relational query.
+
+    Bucketed: hash(user_id) % 32 exchange; whole buckets sorted by
+    (user_id, ts, event_id) and paired with one vectorized shift —
+    the pair (i, i+1) is kept iff user_id[i] == user_id[i+1]."""
+    from .hashagg import append_bucket
+
     ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts"])
 
-    def pairs(g: pa.Table) -> pa.Table:
-        g = g.sort_by([("ts", "ascending"), ("event_id", "ascending")])
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return append_bucket(t, ["user_id"], 32)
+
+    PAIRS_SCHEMA = pa.schema([("user_id", pa.int64()),
+                              ("event_id", pa.int64()),
+                              ("next_event_id", pa.int64()),
+                              ("gap_us", pa.int64())])
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("user_id", "ascending"), ("ts", "ascending"),
+                       ("event_id", "ascending")])
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
         ids = g["event_id"].to_numpy(zero_copy_only=False)
         ts = g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
         if len(ids) < 2:
-            return pa.schema([("user_id", pa.int64()),
-                              ("event_id", pa.int64()),
-                              ("next_event_id", pa.int64()),
-                              ("gap_us", pa.int64())]).empty_table()
+            return PAIRS_SCHEMA.empty_table()
+        same = uid[1:] == uid[:-1]
         return pa.table({
-            "user_id": g["user_id"].slice(0, len(ids) - 1),
-            "event_id": pa.array(ids[:-1], pa.int64()),
-            "next_event_id": pa.array(ids[1:], pa.int64()),
-            "gap_us": pa.array(ts[1:] - ts[:-1], pa.int64()),
+            "user_id": pa.array(uid[:-1][same], pa.int64()),
+            "event_id": pa.array(ids[:-1][same], pa.int64()),
+            "next_event_id": pa.array(ids[1:][same], pa.int64()),
+            "gap_us": pa.array((ts[1:] - ts[:-1])[same], pa.int64()),
         })
 
-    return ds.groupby("user_id").map_groups(pairs, batch_format="pyarrow")
+    return ds.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(
+            lambda g: per_bucket(g.drop_columns(["bucket"])),
+            batch_format="pyarrow")
 
 
 def q_window_agg(sf_dir: str):
@@ -329,26 +352,34 @@ def q_window_agg(sf_dir: str):
 
 
 def q_semi_join(sf_dir: str):
-    """Semi-join via broadcast key set (guide pattern; no shuffle):
-    lineitems of orders placed by customers in market segment BUILDING."""
+    """Semi-join, mixed strategy: customer is dimension-sized so its
+    BUILDING key set is broadcast (ray.put once, map-side is_in filter
+    on orders); lineitem ⋉ filtered-orders is fact×fact and runs
+    through the distributed shuffle hash join — orders never touches
+    the driver."""
     import ray
 
     cust = _read(sf_dir, "customer",
                  columns=["c_custkey", "c_mktsegment"]).to_pandas()
-    keys = set(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"])
-    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]) \
-        .to_pandas()
-    okeys = pa.array(sorted(orders.loc[orders["o_custkey"].isin(keys),
-                                       "o_orderkey"]), pa.int64())
-    ref = ray.put(okeys)
+    keys = pa.array(sorted(cust.loc[cust["c_mktsegment"] == "BUILDING",
+                                    "c_custkey"]), pa.int64())
+    ref = ray.put(keys)
 
-    def keep(t: pa.Table, _r=ref) -> pa.Table:
+    def building_orders(t: pa.Table, _r=ref) -> pa.Table:
         import ray as _ray
         ks = _ray.get(_r)
-        return t.filter(pc.is_in(t["l_orderkey"], value_set=ks))
+        return t.filter(pc.is_in(t["o_custkey"], value_set=ks)) \
+            .select(["o_orderkey"])
+
+    orders_f = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]) \
+        .map_batches(building_orders, batch_format="pyarrow")
+
+    from .join import hash_join
 
     li = _read(sf_dir, "lineitem",
                columns=["l_orderkey", "l_linenumber", "l_quantity"])
+    kept = hash_join(li, orders_f, on="l_orderkey", right_on="o_orderkey",
+                     how="semi", num_buckets=32)
 
     def finalize(t: pa.Table) -> pa.Table:
         return pa.table({
@@ -357,42 +388,66 @@ def q_semi_join(sf_dir: str):
             "qty_c": _scaled(t["l_quantity"].to_numpy(zero_copy_only=False)),
         })
 
-    return li.map_batches(keep, batch_format="pyarrow") \
-        .map_batches(finalize, batch_format="pyarrow")
+    return kept.map_batches(finalize, batch_format="pyarrow")
 
 
 def q_anti_join(sf_dir: str):
-    """Anti-join via broadcast key set: customers with NO large
-    (totalprice > 400k) order."""
-    import ray
+    """Anti-join via the distributed shuffle hash join: customers with
+    NO large (totalprice > 400k) order. The probe side (orders) is
+    fact-scale — it is filtered map-side and shuffled, never collected
+    on the driver."""
+    from .join import hash_join
 
+    def big(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t["o_totalprice"], 400000.0)) \
+            .select(["o_custkey"])
+
+    big_orders = _read(sf_dir, "orders",
+                       columns=["o_custkey", "o_totalprice"]) \
+        .map_batches(big, batch_format="pyarrow")
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    return hash_join(cust, big_orders, on="c_custkey", right_on="o_custkey",
+                     how="anti", num_buckets=16)
+
+
+def q_shuffle_join(sf_dir: str):
+    """Full fact×fact inner join (the T2 lookup as a real distributed
+    join, reference GeneReader.scala:159-163): every lineitem enriched
+    with its order's customer and priority. Both sides shuffle once on
+    hash(orderkey) % B; per-bucket Acero hash join — no broadcast, no
+    driver materialization of either side."""
+    from .join import hash_join
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_linenumber", "l_quantity"])
     orders = _read(sf_dir, "orders",
-                   columns=["o_custkey", "o_totalprice"]).to_pandas()
-    with_orders = pa.array(
-        sorted(set(orders.loc[orders["o_totalprice"] > 400000.0,
-                              "o_custkey"])), pa.int64())
-    ref = ray.put(with_orders)
+                   columns=["o_orderkey", "o_custkey", "o_orderpriority"])
+    joined = hash_join(li, orders, on="l_orderkey", right_on="o_orderkey",
+                       how="inner", num_buckets=64)
 
-    def keep(t: pa.Table, _r=ref) -> pa.Table:
-        import ray as _ray
-        ks = _ray.get(_r)
-        return t.filter(pc.invert(pc.is_in(t["c_custkey"], value_set=ks)))
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "l_linenumber": t["l_linenumber"],
+            "qty_c": _scaled(t["l_quantity"].to_numpy(zero_copy_only=False)),
+            "o_custkey": t["o_custkey"],
+            "o_orderpriority": t["o_orderpriority"],
+        })
 
-    return _read(sf_dir, "customer", columns=["c_custkey", "c_name"]) \
-        .map_batches(keep, batch_format="pyarrow")
+    return joined.map_batches(finalize, batch_format="pyarrow")
 
 
 def q_topk_per_group(sf_dir: str):
     """Windowed top-k (row_number ≤ 3 per group): the 3 most expensive
     lineitems per order — per-group sort inside map_groups over hash
     buckets (no per-group Python dispatch)."""
-    from .hashagg import _bucket_column
+    from .hashagg import append_bucket
 
     ds = _read(sf_dir, "lineitem",
                columns=["l_orderkey", "l_linenumber", "l_extendedprice"])
 
     def add_bucket(t: pa.Table) -> pa.Table:
-        return t.append_column("bucket", _bucket_column(t, ["l_orderkey"], 32))
+        return append_bucket(t, ["l_orderkey"], 32)
 
     def topk(g: pa.Table) -> pa.Table:
         import numpy as np
@@ -427,80 +482,105 @@ def q_session_windows(sf_dir: str):
     lag + cumulative-sum window formulation exactly."""
     GAP_US = 1_800_000_000
 
+    from .hashagg import append_bucket
+
     ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts"])
 
-    def sessions(g: pa.Table) -> pa.Table:
-        import numpy as np
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return append_bucket(t, ["user_id"], 32)
 
-        g = g.sort_by([("ts", "ascending"), ("event_id", "ascending")])
+    SESS_SCHEMA = pa.schema([("user_id", pa.int64()),
+                             ("session_id", pa.int64()),
+                             ("n_events", pa.int64()),
+                             ("dur_us", pa.int64())])
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("user_id", "ascending"), ("ts", "ascending"),
+                       ("event_id", "ascending")])
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
         ts = g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        if len(ts) == 0:
-            return pa.table({"user_id": pa.array([], pa.int64()),
-                             "session_id": pa.array([], pa.int64()),
-                             "n_events": pa.array([], pa.int64()),
-                             "dur_us": pa.array([], pa.int64())})
-        new = np.r_[1, (ts[1:] - ts[:-1] > GAP_US).astype(np.int64)]
-        sid = np.cumsum(new)
-        uid = int(g["user_id"][0].as_py())
-        out_sid, out_n, out_dur = [], [], []
-        for s in range(1, sid[-1] + 1):
-            idx = np.flatnonzero(sid == s)
-            out_sid.append(s)
-            out_n.append(len(idx))
-            out_dur.append(int(ts[idx[-1]] - ts[idx[0]]))
+        n = len(uid)
+        if n == 0:
+            return SESS_SCHEMA.empty_table()
+        # one vectorized boundary pass over the whole bucket: a new
+        # session starts at a user change OR a gap > GAP_US
+        user_change = np.r_[True, uid[1:] != uid[:-1]]
+        new_sess = user_change | np.r_[True, (ts[1:] - ts[:-1]) > GAP_US]
+        sstart = np.flatnonzero(new_sess)
+        send = np.r_[sstart[1:], n] - 1
+        sess_user = uid[sstart]
+        sidx = np.arange(len(sstart))
+        # session_id restarts at 1 per user: subtract the user's first
+        # session index (run-boundary repeat over the session list)
+        ufirst = np.r_[0, np.flatnonzero(sess_user[1:] != sess_user[:-1]) + 1]
+        first_of = np.repeat(sidx[ufirst],
+                             np.diff(np.r_[ufirst, len(sstart)]))
         return pa.table({
-            "user_id": pa.array([uid] * len(out_sid), pa.int64()),
-            "session_id": pa.array(out_sid, pa.int64()),
-            "n_events": pa.array(out_n, pa.int64()),
-            "dur_us": pa.array(out_dur, pa.int64()),
+            "user_id": pa.array(sess_user, pa.int64()),
+            "session_id": pa.array(sidx - first_of + 1, pa.int64()),
+            "n_events": pa.array(np.diff(np.r_[sstart, n]), pa.int64()),
+            "dur_us": pa.array(ts[send] - ts[sstart], pa.int64()),
         })
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pyarrow")
+    return ds.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(
+            lambda g: per_bucket(g.drop_columns(["bucket"])),
+            batch_format="pyarrow")
 
 
 def q_asof_join(sf_dir: str):
     """As-of join (guide pattern): for each 'purchase' event, the most
-    recent prior-or-equal 'signup' event of the same user. Per-user
-    sorted groups + numpy searchsorted inside map_groups; signups are
-    deduped per (user, ts) keeping max event_id so tie semantics match
-    DuckDB's ASOF JOIN exactly."""
-    import numpy as np
+    recent prior-or-equal 'signup' event of the same user. Bucketed on
+    hash(user_id) % 32; each bucket runs ONE ``pandas.merge_asof``
+    (C kernel, by=user_id) over the sorted bucket — no per-user Python
+    dispatch. Signups are deduped per (user, ts) keeping max event_id
+    so tie semantics match DuckDB's ASOF JOIN exactly."""
+    from .hashagg import append_bucket
 
     ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts",
                                           "event_type"])
 
-    def asof(g: pa.Table) -> pa.Table:
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return append_bucket(t, ["user_id"], 32)
+
+    ASOF_SCHEMA = pa.schema([("event_id", pa.int64()),
+                             ("signup_event_id", pa.int64()),
+                             ("gap_us", pa.int64())])
+
+    def per_bucket(g: pa.Table) -> pa.Table:
         import pandas as pd
 
         df = g.to_pandas()
         df["tus"] = df["ts"].astype("int64")
-        buys = df[df.event_type == "purchase"].sort_values(
-            ["tus", "event_id"])
+        buys = df[df.event_type == "purchase"] \
+            .sort_values("tus", kind="mergesort")[
+                ["user_id", "event_id", "tus"]]
         subs = df[df.event_type == "signup"]
-        empty = pa.schema([("event_id", pa.int64()),
-                           ("signup_event_id", pa.int64()),
-                           ("gap_us", pa.int64())]).empty_table()
         if len(buys) == 0 or len(subs) == 0:
-            return empty
-        # dedupe signups per ts: keep max event_id (deterministic ties)
-        subs = subs.sort_values(["tus", "event_id"]) \
-            .groupby("tus", as_index=False).last()
-        pos = np.searchsorted(subs["tus"].to_numpy(),
-                              buys["tus"].to_numpy(), side="right") - 1
-        mask = pos >= 0
-        if not mask.any():
-            return empty
-        b = buys[mask]
-        p = pos[mask]
+            return ASOF_SCHEMA.empty_table()
+        # dedupe signups per (user, ts): keep max event_id (ties)
+        subs = subs.sort_values(["tus", "event_id"], kind="mergesort") \
+            .groupby(["user_id", "tus"], as_index=False).last()
+        subs = subs[["user_id", "event_id", "tus"]] \
+            .rename(columns={"event_id": "signup_event_id"})
+        subs["signup_tus"] = subs["tus"]
+        subs = subs.sort_values("tus", kind="mergesort")
+        m = pd.merge_asof(buys, subs, on="tus", by="user_id",
+                          direction="backward")
+        m = m[m["signup_event_id"].notna()]
         return pa.table({
-            "event_id": pa.array(b["event_id"].to_numpy(), pa.int64()),
+            "event_id": pa.array(m["event_id"].to_numpy(), pa.int64()),
             "signup_event_id": pa.array(
-                subs["event_id"].to_numpy()[p], pa.int64()),
+                m["signup_event_id"].to_numpy().astype("int64"), pa.int64()),
             "gap_us": pa.array(
-                b["tus"].to_numpy() - subs["tus"].to_numpy()[p], pa.int64()),
+                (m["tus"] - m["signup_tus"]).to_numpy().astype("int64"),
+                pa.int64()),
         })
 
-    return ds.groupby("user_id").map_groups(asof, batch_format="pyarrow")
+    return ds.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(
+            lambda g: per_bucket(g.drop_columns(["bucket"])),
+            batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
