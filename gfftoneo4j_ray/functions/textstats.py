@@ -36,18 +36,19 @@ def text_stats_batch(batch: pa.Table, text_col: str = "text",
     """Vectorized token/char/space counts + scaled alpha ratio."""
     text = batch[text_col]
     n_chars = pc.utf8_length(text)
-    # tokens: count non-empty whitespace-separated tokens — matches the
-    # oracle's list_filter(regexp_split_to_array(...), x -> x <> '')
-    texts = text.to_pylist()
-    n_tokens = pa.array(
-        [len([w for w in _WS_SPLIT.split(t) if w]) if t else 0 for t in texts],
-        pa.int64())
+    # tokens: count of \S+ matches == count of non-empty
+    # whitespace-separated tokens — matches the oracle's
+    # list_filter(regexp_split_to_array(...), x -> x <> ''); RE2
+    # kernel, no per-row Python
+    n_tokens = pc.cast(
+        pc.fill_null(pc.count_substring_regex(text, r"\S+"), 0), pa.int64())
     n_spaces = pc.count_substring(text, " ")
-    alpha = pa.array(
-        [sum(1 for ch in t if "a" <= ch <= "z") for t in texts], pa.int64())
+    alpha = pc.cast(
+        pc.fill_null(pc.count_substring_regex(text, "[a-z]"), 0), pa.int64())
     nc = np.maximum(n_chars.to_numpy(zero_copy_only=False).astype(np.float64), 1.0)
     alpha_c = np.floor(
-        alpha.to_numpy().astype(np.float64) / nc * 10000 + 0.5).astype(np.int64)
+        alpha.to_numpy(zero_copy_only=False).astype(np.float64) / nc * 10000
+        + 0.5).astype(np.int64)
     return pa.table({
         id_col: batch[id_col],
         "n_chars": pc.cast(n_chars, pa.int64()),

@@ -104,3 +104,82 @@ def test_embedding_neardup(ray_session):
     pairs = set(map(tuple, out[["vec_a", "vec_b"]].itertuples(index=False)))
     assert (0, 1) in pairs
     assert len(pairs) == 1
+
+
+def test_minhash_cluster_spans_partitions(ray_session):
+    """A planted dup cluster scattered across many input blocks must
+    still assemble into one group (distributed verify + distributed
+    min-label components — no driver union-find)."""
+    import ray
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    texts, ids = [], []
+    for i in range(40):
+        ids.append(i)
+        if i % 10 == 0:          # 0, 10, 20, 30 → one near-dup cluster
+            texts.append(base)
+        else:
+            texts.append(f"unique filler document number {i} " * 4)
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })).repartition(8)
+    groups = dedup.minhash_dedup_groups(ds, threshold=0.8, concurrency=1)
+    assert {d: g for d, g in groups.items() if d % 10 == 0} == \
+        {0: 0, 10: 0, 20: 0, 30: 0}
+
+
+def test_embedding_neardup_blockjoin_matches_bruteforce(ray_session):
+    """The distributed block-pair self-join is EXACT: equal to the
+    all-pairs numpy reference on the same vectors."""
+    import ray
+
+    rng = np.random.default_rng(11)
+    n, d = 120, 12
+    mat = rng.standard_normal((n, d))
+    mat[30] = mat[7] + 0.01 * rng.standard_normal(d)   # planted near-dup
+    mat[55] = mat[7] + 0.02 * rng.standard_normal(d)
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array([m.tolist() for m in mat],
+                              pa.list_(pa.float64())),
+    })).repartition(6)
+    got = dedup.embedding_neardup_pairs(ds, threshold_c=9000,
+                                        n_blocks=5).to_pandas()
+    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    simc = np.floor(norm @ norm.T * 10000 + 0.5).astype(np.int64)
+    iu, ju = np.triu_indices(n, k=1)
+    keep = simc[iu, ju] >= 9000
+    exp = sorted(zip(iu[keep], ju[keep], simc[iu, ju][keep]))
+    assert sorted(map(tuple, got[["vec_a", "vec_b", "cos_c"]]
+                      .itertuples(index=False))) == \
+        [(int(a), int(b), int(c)) for a, b, c in exp]
+    assert {(7, 30), (7, 55), (30, 55)} <= {(a, b) for a, b, _ in exp}
+
+
+def test_embedding_neardup_lsh_recall(ray_session):
+    """The LSH-banded approximate path recovers most exact pairs
+    (recall measured vs the exact block-join, the ANN-family
+    contract)."""
+    import ray
+
+    rng = np.random.default_rng(17)
+    n, d = 200, 16
+    mat = rng.standard_normal((n, d))
+    for i in range(0, 40, 2):     # 20 planted high-cos pairs
+        mat[i + 1] = mat[i] + 0.05 * rng.standard_normal(d)
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array([m.tolist() for m in mat],
+                              pa.list_(pa.float64())),
+    })).repartition(4)
+    exact = dedup.embedding_neardup_pairs(ds, threshold_c=9000,
+                                          n_blocks=4).to_pandas()
+    approx = dedup.embedding_neardup_lsh(ds, threshold_c=9000,
+                                         n_bits=4, n_tables=16).to_pandas()
+    e = set(map(tuple, exact[["vec_a", "vec_b"]].itertuples(index=False)))
+    a = set(map(tuple, approx[["vec_a", "vec_b"]].itertuples(index=False)))
+    assert len(e) >= 20
+    assert a <= e                       # no false positives (exact verify)
+    assert len(a & e) / len(e) >= 0.8   # recall bound
