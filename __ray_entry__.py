@@ -105,23 +105,43 @@ def q_kg_edges(sf_dir: str):
     return ray.data.read_parquet(res["edges_dir"])
 
 
-def q_kg_triples_pr(sf_dir: str):
+def q_kg_triples_pr(sf_dir: str, max_sample_pages: int = 20000):
     """Precision/recall of the DISTRIBUTED extraction path vs the
-    standalone oracle module run driver-side over the same derived
-    pages — the P/R ≥ 0.95 contract as a queryable artifact.
+    standalone oracle module run driver-side — the P/R ≥ 0.95
+    contract as a queryable artifact.
+
+    SAMPLE-BOUNDED: above ``max_sample_pages`` the comparison runs on
+    a deterministic url-hash sample (1/K of pages, same predicate on
+    both sides), so the driver-side oracle pass never materializes a
+    corpus-scale triple set. At the sandbox comparison scale (sf0.01,
+    well under the cap) the sample is the full corpus, so the 1-row
+    output is unchanged.
 
     One row: (n_expected, n_got, n_match, precision_c, recall_c) with
     the shared floor(x*10000+0.5) scaling."""
     import pyarrow as pa
+    import pyarrow.compute as pc
 
+    from gfftoneo4j_ray.functions.hashing import stable_hash64
     from gfftoneo4j_ray.stages.triples import extract_triples
 
-    got = q_kg_triples(sf_dir).to_pandas()
+    pages = derive_pages(sf_dir)
+    n_pages = pages.count()
+    mod = max(1, n_pages // max_sample_pages)
+
+    def keep_sampled(t: pa.Table) -> pa.Table:
+        if mod == 1:
+            return t
+        h = stable_hash64(t["url"].to_pylist())
+        return t.filter(pa.array(h % mod == 0))
+
+    got = q_kg_triples(sf_dir).map_batches(keep_sampled,
+                                           batch_format="pyarrow").to_pandas()
     g = set(map(tuple, got[["url", "sent_idx", "subj", "pred", "obj"]]
                 .astype({"sent_idx": "int64"}).itertuples(index=False)))
     w = set()
-    for b in derive_pages(sf_dir).iter_batches(batch_format="pyarrow",
-                                               batch_size=1024):
+    for b in pages.map_batches(keep_sampled, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow", batch_size=1024):
         for url, text, lang in zip(b["url"].to_pylist(),
                                    b["text"].to_pylist(),
                                    b["lang"].to_pylist()):
@@ -240,6 +260,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_union_counts": R.q_union_counts,
         "q_semi_join": R.q_semi_join,
         "q_anti_join": R.q_anti_join,
+        "q_shuffle_join": R.q_shuffle_join,
         "q_topk_per_group": R.q_topk_per_group,
         "q_session_windows": R.q_session_windows,
         "q_asof_join": R.q_asof_join,
@@ -248,11 +269,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_dedup_exact": q_dedup_exact,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_ann_topk": q_ann_topk,
-        "q_langid": q_langid,                  # rows-only (heuristic)
-        "q_fingerprint": q_fingerprint,        # rows-only (rolling hash)
-        "q_simhash": q_simhash,                # rows-only (projection hash)
-        "q_minhash_neardup": q_minhash_neardup,  # rows-only (LSH)
-        "q_emb_neardup": q_emb_neardup,        # rows-only (blocked matmul)
+        "q_langid": q_langid,                  # golden-parquet oracle
+        "q_fingerprint": q_fingerprint,        # golden-parquet oracle
+        "q_simhash": q_simhash,                # golden-parquet oracle
+        "q_minhash_neardup": q_minhash_neardup,  # exact-shingle-Jaccard SQL
+        "q_emb_neardup": q_emb_neardup,        # exact cosine SQL oracle
         "q_ann_lsh": q_ann_lsh,                # rows-only (approximate)
         "q_ann_ivf": q_ann_ivf,                # rows-only (approximate)
         # KG pipeline (non-SQL-expressible: html derivation + extraction)
@@ -360,6 +381,13 @@ def oracle_sql() -> dict[str, str]:
                               WHERE o_custkey = c_custkey
                                 AND o_totalprice > 400000)
         """,
+        "q_shuffle_join": r"""
+            SELECT l_orderkey, l_linenumber,
+                   CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT) AS qty_c,
+                   o_custkey, o_orderpriority
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+        """,
         "q_topk_per_group": r"""
             SELECT l_orderkey, CAST(rnk AS BIGINT) AS rnk, l_linenumber,
                    CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_c
@@ -447,6 +475,80 @@ def oracle_sql() -> dict[str, str]:
             FROM inter
             JOIN sizes sa ON doc_a = sa.doc_id
             JOIN sizes sb ON doc_b = sb.doc_id
+        """,
+        # --- golden-parquet oracles (deterministic per-doc functions and
+        # the sequential reference engine; artifacts generated by
+        # tools/make_goldens.py at the driver's sf0.01 comparison scale,
+        # committed under gfftoneo4j_ray/goldens/) -----------------------
+        "q_simhash": r"""
+            SELECT doc_id, simhash
+            FROM read_parquet('/root/repo/gfftoneo4j_ray/goldens/sf0_01_simhash.parquet')
+        """,
+        "q_fingerprint": r"""
+            SELECT doc_id, fingerprint
+            FROM read_parquet('/root/repo/gfftoneo4j_ray/goldens/sf0_01_fingerprint.parquet')
+        """,
+        "q_langid": r"""
+            SELECT doc_id, lang_pred
+            FROM read_parquet('/root/repo/gfftoneo4j_ray/goldens/sf0_01_langid.parquet')
+        """,
+        "kg_nodes": r"""
+            SELECT node_id, label, key, entity_type, n_mentions
+            FROM read_parquet('/root/repo/gfftoneo4j_ray/goldens/sf0_01_kg_nodes.parquet')
+        """,
+        "kg_edges": r"""
+            SELECT src, dst, type, pred, weight
+            FROM read_parquet('/root/repo/gfftoneo4j_ray/goldens/sf0_01_kg_edges.parquet')
+        """,
+        # --- real SQL oracles for the near-dup family --------------------
+        "q_minhash_neardup": r"""
+            WITH RECURSIVE toks AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9_''-]+') AS arr
+              FROM documents
+            ),
+            padded AS (
+              SELECT doc_id,
+                     arr || list_transform(range(greatest(3 - len(arr), 0)),
+                                           x -> '_') AS arr
+              FROM toks
+            ),
+            sh AS (
+              SELECT doc_id,
+                     unnest(list_distinct(list_transform(range(len(arr) - 2),
+                            i -> arr[i + 1] || ' ' || arr[i + 2] || ' ' ||
+                                 arr[i + 3]))) AS s
+              FROM padded
+            ),
+            sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS ni
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ),
+            pairs AS (
+              SELECT da, db FROM inter
+              JOIN sizes sa ON da = sa.doc_id
+              JOIN sizes sb ON db = sb.doc_id
+              WHERE CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) >= 0.8
+            ),
+            edges AS (SELECT da AS a, db AS b FROM pairs
+                      UNION ALL SELECT db AS a, da AS b FROM pairs),
+            reach(node, lab) AS (
+              SELECT DISTINCT a, a FROM edges
+              UNION
+              SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node
+            )
+            SELECT node AS doc_id, MIN(lab) AS group_rep
+            FROM reach GROUP BY node
+        """,
+        "q_emb_neardup": r"""
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   CAST(FLOOR(list_cosine_similarity(a.embedding, b.embedding)
+                              * 10000 + 0.5) AS BIGINT) AS cos_c
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE CAST(FLOOR(list_cosine_similarity(a.embedding, b.embedding)
+                             * 10000 + 0.5) AS BIGINT) >= 3500
         """,
         "q_ann_topk": r"""
             WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),

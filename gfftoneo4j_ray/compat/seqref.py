@@ -1,0 +1,149 @@
+"""Sequential reference engine — the single-process golden build.
+
+The reference system is a single-threaded JVM ETL (reference:
+src/main/scala/corwur/Application.scala:30-40 — read, parse, group,
+assemble, sink, all in one heap). This module reproduces that
+execution model over the SAME per-record kernels the distributed
+engine uses (extract_text_safe, TripleExtractor, EntityLinker, the
+content-hash id functions), but with plain dicts/Counters instead of
+shuffles, so it is:
+
+  * the independent oracle for the distributed assembly — every
+    shuffle, dedup aggregate, canonical merge and mention count in
+    pipelines/kg.py must reproduce what one process computes here
+    (tested at sf0.001 in tests/test_seqref.py; the sf0.01 golden
+    parquet for the driver's kg_nodes / kg_edges oracle is generated
+    from this module by tools/make_goldens.py);
+  * intentionally NOT scalable — it materializes everything in one
+    heap, exactly like the reference. Do not use it beyond golden
+    generation.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pyarrow as pa
+
+from ..functions.hashing import alias_node_id, entity_node_id, page_node_id
+from ..functions.text import extract_text_safe
+from ..stages.graph import EDGES_SCHEMA, NODES_SCHEMA, host_of
+from ..stages.linker import EntityLinker
+from ..stages.triples import TripleExtractor
+from ..state.unionfind import UnionFind
+
+_S, _E = "s:", "e:"
+
+
+def sequential_kg_build(pages: list[dict], dict_table: pa.Table,
+                        lang: str = "en"):
+    """pages rows (url, warc_ts, html, lang) + dictionary →
+    (nodes_table, edges_table), semantically identical to
+    pipelines.kg.run over the same input."""
+    # stage 1: extract text, quarantine undecodable pages
+    clean = []
+    for p in pages:
+        text, reason = extract_text_safe(p["html"])
+        if reason is None:
+            clean.append({"url": p["url"], "warc_ts": p["warc_ts"],
+                          "text": text, "lang": p["lang"]})
+
+    # stage 2+3: triples (lang-gated) + linking — same kernels, one batch
+    en = [p for p in clean if p["lang"] == lang]
+    batch = pa.table({
+        "url": pa.array([p["url"] for p in en], pa.string()),
+        "text": pa.array([p["text"] for p in en], pa.string()),
+    })
+    linked = EntityLinker(dict_table=dict_table)(TripleExtractor()(batch))
+
+    # stage 4: canonicalization — one union-find over alias pairs
+    uf = UnionFind()
+    for side in ("subj", "obj"):
+        surfs = linked[side].to_pylist()
+        keys = linked[f"{side}_key"].to_pylist()
+        resolved = linked[f"{side}_resolved"].to_pylist()
+        for s, k, r in zip(surfs, keys, resolved):
+            if r:
+                uf.union(_S + s, _E + k)
+    mapping: dict[str, tuple[str, str]] = {}
+    for _, members in uf.groups().items():
+        ekeys = sorted(x[2:] for x in members if x.startswith(_E))
+        surfaces = [x[2:] for x in members if x.startswith(_S)]
+        canon = ekeys[0] if ekeys else min(surfaces)
+        nid = entity_node_id(canon)
+        for s in surfaces:
+            mapping[s] = (canon, nid)
+        for k in ekeys:
+            mapping.setdefault(k, (canon, nid))
+
+    def canon_of(surface: str) -> tuple[str, str]:
+        hit = mapping.get(surface)
+        return hit if hit is not None else (surface, entity_node_id(surface))
+
+    # stage 5: graph assembly — edge weights via one Counter
+    w: Counter = Counter()
+    nil_info: dict[str, str] = {}  # node_id -> canon key (NIL entities)
+    for i in range(linked.num_rows):
+        url = linked["url"][i].as_py()
+        subj = linked["subj"][i].as_py()
+        obj = linked["obj"][i].as_py()
+        pred = linked["pred"][i].as_py()
+        s_canon, s_nid = canon_of(subj)
+        o_canon, o_nid = canon_of(obj)
+        pid = page_node_id(url)
+        w[(s_nid, o_nid, "asserts", pred)] += 1
+        w[(pid, s_nid, "mentions", "")] += 1
+        w[(pid, o_nid, "mentions", "")] += 1
+        w[(alias_node_id(subj), s_nid, "alias_of", "")] += 1
+        w[(alias_node_id(obj), o_nid, "alias_of", "")] += 1
+        nil_info.setdefault(s_nid, s_canon)
+        nil_info.setdefault(o_nid, o_canon)
+
+    # order chain: per host, clean pages sorted by (warc_ts, url)
+    by_host: dict[str, list] = {}
+    for p in clean:
+        by_host.setdefault(host_of(p["url"]), []).append(p)
+    for host, ps in by_host.items():
+        ps.sort(key=lambda p: (p["warc_ts"], p["url"]))
+        for a, b in zip(ps, ps[1:]):
+            w[(page_node_id(a["url"]), page_node_id(b["url"]),
+               "order", "")] += 1
+
+    edges = pa.Table.from_pylist(
+        [{"src": k[0], "dst": k[1], "type": k[2], "pred": k[3],
+          "weight": int(v)}
+         for k, v in sorted(w.items())], schema=EDGES_SCHEMA)
+
+    # nodes: entities + aliases from the mapping, pages, NIL entities
+    known = {nid for _, nid in mapping.values()}
+    counts: Counter = Counter()
+    for (src, dst, typ, pred), wt in w.items():
+        if typ == "mentions" and dst in known:
+            counts[dst] += wt
+    type_of = dict(zip(dict_table.column("entity_key").to_pylist(),
+                       dict_table.column("entity_type").to_pylist()))
+    by_node: dict[str, tuple[str, set]] = {}
+    for surface, (canon, nid) in mapping.items():
+        by_node.setdefault(nid, (canon, set()))[1].add(surface)
+    rows = []
+    for nid, (canon, surfaces) in sorted(by_node.items()):
+        rows.append({"node_id": nid, "label": "entity", "key": canon,
+                     "entity_type": type_of.get(canon),
+                     "surface_forms": sorted(surfaces),
+                     "n_mentions": int(counts.get(nid, 0))})
+        for s in sorted(surfaces):
+            rows.append({"node_id": alias_node_id(s), "label": "alias",
+                         "key": s, "entity_type": None,
+                         "surface_forms": None, "n_mentions": None})
+    for p in clean:
+        rows.append({"node_id": page_node_id(p["url"]), "label": "page",
+                     "key": p["url"], "entity_type": None,
+                     "surface_forms": None, "n_mentions": None})
+    for nid, canon in sorted(nil_info.items()):
+        if nid in known:
+            continue
+        rows.append({"node_id": nid, "label": "entity", "key": canon,
+                     "entity_type": None, "surface_forms": None,
+                     "n_mentions": None})
+    nodes = pa.Table.from_pylist(rows, schema=NODES_SCHEMA).sort_by("node_id")
+    return nodes, edges
