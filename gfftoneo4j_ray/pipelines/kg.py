@@ -162,10 +162,19 @@ def run(pages_path: str, dict_path: str, out_root: str, *,
         return {"out_root": out_root, "nodes_dir": nodes_dir,
                 "edges_dir": edges_dir, "n_canonical_entities": 0}
     # fingerprint = input identity + stage-format version: bumping the
-    # version invalidates checkpoints whose committed schema changed
+    # version invalidates checkpoints whose committed schema changed.
+    # The dictionary identity is included so a resume with a different
+    # --dictionary cannot silently reuse links made with the old one.
+    import hashlib as _hl
+
     extractor_name = (cfg.extractor_cls or triples.TripleExtractor).__name__
+    dict_id = _hl.sha1(
+        b"\x00".join(k.encode() for k in
+                     dict_table.column("entity_key").to_pylist())
+    ).hexdigest()[:12]
     fingerprint = (f"{pages_path}:{pages.count()}:fmt2"
-                   f":vt{int(cfg.verify_text)}:{extractor_name}")
+                   f":vt{int(cfg.verify_text)}:{extractor_name}"
+                   f":dict{dict_table.num_rows}-{dict_id}")
 
     # ---- stage: text ------------------------------------------------------
     # ONE extraction pass: commit ALL rows (clean + quarantined, with the
@@ -321,10 +330,15 @@ def run(pages_path: str, dict_path: str, out_root: str, *,
 
     if ckpt:
         def nodes_stage(tmp: str) -> dict:
-            _write_stage(nodes_ds.sort("node_id"), tmp, graph.NODES_SCHEMA)
+            _write_stage(nodes_ds.sort("node_id")
+                         .map_batches(graph.encode_nodes_hex,
+                                      batch_format="pyarrow"),
+                         tmp, graph.NODES_SCHEMA)
             return {}
         def edges_stage(tmp: str) -> dict:
-            _write_stage(edges_ds.sort(["src", "type", "dst", "pred"]),
+            _write_stage(edges_ds.sort(["src", "type", "dst", "pred"])
+                         .map_batches(graph.encode_edges_hex,
+                                      batch_format="pyarrow"),
                          tmp, graph.EDGES_SCHEMA)
             return {}
         with ThreadPoolExecutor(max_workers=2) as ex:
@@ -335,12 +349,21 @@ def run(pages_path: str, dict_path: str, out_root: str, *,
         mark("sort+write")
     else:
         os.makedirs(out_root, exist_ok=True)
+        # clear stale parts: write_parquet appends uniquely-named files,
+        # so a rerun into the same out_root would mix old and new rows
+        import shutil as _shutil
+
+        _shutil.rmtree(nodes_dir, ignore_errors=True)
+        _shutil.rmtree(edges_dir, ignore_errors=True)
         with ThreadPoolExecutor(max_workers=2) as ex:
             fn = ex.submit(lambda: _write_stage(
-                nodes_ds.sort("node_id"), nodes_dir, graph.NODES_SCHEMA))
+                nodes_ds.sort("node_id")
+                .map_batches(graph.encode_nodes_hex, batch_format="pyarrow"),
+                nodes_dir, graph.NODES_SCHEMA))
             fe = ex.submit(lambda: _write_stage(
-                edges_ds.sort(["src", "type", "dst", "pred"]), edges_dir,
-                graph.EDGES_SCHEMA))
+                edges_ds.sort(["src", "type", "dst", "pred"])
+                .map_batches(graph.encode_edges_hex, batch_format="pyarrow"),
+                edges_dir, graph.EDGES_SCHEMA))
             fn.result()
             fe.result()
         mark("sort+write")

@@ -32,7 +32,9 @@ import re
 
 import pyarrow as pa
 
-from ..functions.hashing import alias_node_id, page_node_id
+from ..functions.hashing import (alias_node_id, alias_node_id_bin,
+                                 hex_decode_ids, hex_encode_ids,
+                                 page_node_id, page_node_id_bin)
 
 NODES_SCHEMA = pa.schema([
     ("node_id", pa.string()),
@@ -43,11 +45,26 @@ NODES_SCHEMA = pa.schema([
     ("n_mentions", pa.int64()),       # nullable
 ])
 
+NODES_BIN_SCHEMA = pa.schema(
+    [("node_id", pa.binary(20))] + list(NODES_SCHEMA)[1:])
+
 EDGES_SCHEMA = pa.schema([
     ("src", pa.string()),
     ("dst", pa.string()),
     ("type", pa.string()),
     ("pred", pa.string()),            # '' when the type carries no predicate
+    ("weight", pa.int64()),
+])
+
+# internal exchange layout: ids as fixed_size_binary(20) — half the
+# shuffle/sort bytes of 40-char hex; hex encoding is order-preserving,
+# so a binary sort + final hex encode equals a hex sort (VERDICT r1
+# item 4). Public parquet keeps the hex EDGES_SCHEMA contract.
+EDGES_BIN_SCHEMA = pa.schema([
+    ("src", pa.binary(20)),
+    ("dst", pa.binary(20)),
+    ("type", pa.string()),
+    ("pred", pa.string()),
     ("weight", pa.int64()),
 ])
 
@@ -73,15 +90,17 @@ def emit_asserts_mentions_alias(batch: pa.Table) -> pa.Table:
 
     n = batch.num_rows
     urls = batch.column("url").to_pandas()
-    s_nid = batch.column("subj_node_id").to_pandas()
-    o_nid = batch.column("obj_node_id").to_pandas()
+    # canonical entity ids arrive as hex (canonicalize contract) —
+    # decode once per batch to the binary exchange representation
+    s_nid = pd.Series(hex_decode_ids(batch.column("subj_node_id")).to_pylist())
+    o_nid = pd.Series(hex_decode_ids(batch.column("obj_node_id")).to_pylist())
     preds = batch.column("pred").to_pandas()
     s_surf = batch.column("subj").to_pandas()
     o_surf = batch.column("obj").to_pandas()
     # sha1 per DISTINCT url / surface, then C-level pandas maps
-    pid = urls.map({u: page_node_id(u) for u in pd.unique(urls)})
-    s_aid = s_surf.map({a: alias_node_id(a) for a in pd.unique(s_surf)})
-    o_aid = o_surf.map({a: alias_node_id(a) for a in pd.unique(o_surf)})
+    pid = urls.map({u: page_node_id_bin(u) for u in pd.unique(urls)})
+    s_aid = s_surf.map({a: alias_node_id_bin(a) for a in pd.unique(s_surf)})
+    o_aid = o_surf.map({a: alias_node_id_bin(a) for a in pd.unique(o_surf)})
     empty = pd.Series([""] * n)
     frames = [
         pd.DataFrame({"src": s_nid, "dst": o_nid,
@@ -97,6 +116,8 @@ def emit_asserts_mentions_alias(batch: pa.Table) -> pa.Table:
     ]
     t = pa.Table.from_pandas(pd.concat(frames, ignore_index=True),
                              preserve_index=False)
+    t = t.set_column(0, "src", t["src"].cast(pa.binary(20))) \
+         .set_column(1, "dst", t["dst"].cast(pa.binary(20)))
     g = t.group_by(["src", "dst", "type", "pred"]).aggregate([("src", "count")])
     g = g.rename_columns(["src", "dst", "type", "pred", "w"])
     return g.set_column(g.schema.get_field_index("w"), "w",
@@ -111,8 +132,8 @@ def _order_edges_bucket(bucket: pa.Table) -> pa.Table:
     hosts = g.column("host").to_pylist()
     urls = g.column("url").to_pylist()
     if len(urls) < 2:
-        return EDGES_SCHEMA.empty_table()
-    ids = [page_node_id(u) for u in urls]
+        return EDGES_BIN_SCHEMA.empty_table()
+    ids = [page_node_id_bin(u) for u in urls]
     src, dst = [], []
     for i in range(len(ids) - 1):
         if hosts[i] == hosts[i + 1]:
@@ -120,8 +141,8 @@ def _order_edges_bucket(bucket: pa.Table) -> pa.Table:
             dst.append(ids[i + 1])
     n = len(src)
     return pa.table({
-        "src": pa.array(src, pa.string()),
-        "dst": pa.array(dst, pa.string()),
+        "src": pa.array(src, pa.binary(20)),
+        "dst": pa.array(dst, pa.binary(20)),
         "type": pa.array(["order"] * n, pa.string()),
         "pred": pa.array([""] * n, pa.string()),
         "weight": pa.array([1] * n, pa.int64()),
@@ -135,14 +156,13 @@ def order_edges(pages_ds, num_buckets: int = 64):
     bucketed so the exchange groups B ints, not one group per host;
     all pages of a host land in one bucket, so per-host chains are
     complete by construction."""
-    from ..ops.hashagg import _bucket_column
+    from ..ops.hashagg import append_bucket
 
     def add_host(t: pa.Table) -> pa.Table:
         hosts = [host_of(u) for u in t.column("url").to_pylist()]
         out = t.select(["url", "warc_ts"]).append_column(
             "host", pa.array(hosts, pa.string()))
-        return out.append_column(
-            "bucket", _bucket_column(out, ["host"], num_buckets))
+        return append_bucket(out, ["host"], num_buckets)
 
     with_host = pages_ds.map_batches(add_host, batch_format="pyarrow")
     return with_host.groupby("bucket").map_groups(
@@ -174,7 +194,7 @@ def mention_counts_from_edges(edges_ds, known_ids: set) -> dict:
 
     from ..ops.hashagg import hash_aggregate
 
-    known = pa.array(sorted(known_ids), pa.string())
+    known = hex_decode_ids(pa.array(sorted(known_ids), pa.string()))
 
     def grab(t: pa.Table) -> pa.Table:
         mask = pc.and_(pc.equal(t["type"], "mentions"),
@@ -186,7 +206,7 @@ def mention_counts_from_edges(edges_ds, known_ids: set) -> dict:
     counts: dict[str, int] = {}
     for b in agg.iter_batches(batch_format="pyarrow", batch_size=65536):
         for d, n in zip(b["dst"].to_pylist(), b["n"].to_pylist()):
-            counts[d] = int(n)
+            counts[d.hex()] = int(n)
     return counts
 
 
@@ -208,27 +228,27 @@ def entity_nodes_from_mapping(mapping: dict, mention_counts: dict,
     rows = []
     for nid, (canon, surfaces) in sorted(by_node.items()):
         rows.append({
-            "node_id": nid, "label": "entity", "key": canon,
+            "node_id": bytes.fromhex(nid), "label": "entity", "key": canon,
             "entity_type": type_of.get(canon),
             "surface_forms": sorted(surfaces),
             "n_mentions": int(mention_counts.get(nid, 0)),
         })
         for s in sorted(surfaces):
             rows.append({
-                "node_id": alias_node_id(s), "label": "alias", "key": s,
+                "node_id": alias_node_id_bin(s), "label": "alias", "key": s,
                 "entity_type": None, "surface_forms": None, "n_mentions": None,
             })
-    return pa.Table.from_pylist(rows, schema=NODES_SCHEMA)
+    return pa.Table.from_pylist(rows, schema=NODES_BIN_SCHEMA)
 
 
 def page_nodes(pages_ds):
     """page rows → page nodes (vectorized batch transform)."""
     def to_nodes(t: pa.Table) -> pa.Table:
         urls = t.column("url").to_pylist()
-        ids = [page_node_id(u) for u in urls]
+        ids = [page_node_id_bin(u) for u in urls]
         n = len(urls)
         return pa.table({
-            "node_id": pa.array(ids, pa.string()),
+            "node_id": pa.array(ids, pa.binary(20)),
             "label": pa.array(["page"] * n, pa.string()),
             "key": pa.array(urls, pa.string()),
             "entity_type": pa.array([None] * n, pa.string()),
@@ -248,12 +268,14 @@ def nil_entity_nodes(canon_ds, known_node_ids: set):
     known = sorted(known_node_ids)
 
     def partial(t: pa.Table) -> pa.Table:
-        # vectorized per-batch distinct over both mention sides
-        parts = [
-            t.select([f"{s}_node_id", f"{s}_canon", f"{s}_type"])
-             .rename_columns(["node_id", "key", "entity_type"])
-            for s in ("subj", "obj")
-        ]
+        # vectorized per-batch distinct over both mention sides; hex →
+        # binary(20) here so the distinct shuffle moves half the bytes
+        parts = []
+        for s in ("subj", "obj"):
+            p_ = t.select([f"{s}_node_id", f"{s}_canon", f"{s}_type"]) \
+                .rename_columns(["node_id", "key", "entity_type"])
+            p_ = p_.set_column(0, "node_id", hex_decode_ids(p_["node_id"]))
+            parts.append(p_)
         both = pa.concat_tables(parts)
         return both.group_by("node_id").aggregate(
             [("key", "min"), ("entity_type", "min")]) \
@@ -271,7 +293,7 @@ def nil_entity_nodes(canon_ds, known_node_ids: set):
         [("key", "min", "key"), ("entity_type", "min", "entity_type")],
         num_buckets=32)
 
-    known_set = set(known)
+    known_set = {bytes.fromhex(k) for k in known}
 
     def to_nodes(t: pa.Table) -> pa.Table:
         mask = [nid not in known_set for nid in t.column("node_id").to_pylist()]
@@ -289,10 +311,24 @@ def nil_entity_nodes(canon_ds, known_node_ids: set):
     return distinct.map_batches(to_nodes, batch_format="pyarrow")
 
 
+def encode_nodes_hex(t: pa.Table) -> pa.Table:
+    """binary(20) node ids → the public 40-hex contract (final map)."""
+    return t.set_column(0, "node_id", hex_encode_ids(t["node_id"]))
+
+
+def encode_edges_hex(t: pa.Table) -> pa.Table:
+    return t.set_column(0, "src", hex_encode_ids(t["src"])) \
+            .set_column(1, "dst", hex_encode_ids(t["dst"]))
+
+
 def sort_and_write(nodes_ds, edges_ds, out_dir: str):
-    """Final contract: nodes by node_id, edges by (src, type, dst)."""
-    nodes = nodes_ds.sort("node_id")
-    edges = edges_ds.sort(["src", "type", "dst", "pred"])
+    """Final contract: nodes by node_id, edges by (src, type, dst) —
+    sorted in the binary(20) representation (identical order to hex),
+    hex-encoded in the last map before the write."""
+    nodes = nodes_ds.sort("node_id").map_batches(encode_nodes_hex,
+                                                 batch_format="pyarrow")
+    edges = edges_ds.sort(["src", "type", "dst", "pred"]) \
+        .map_batches(encode_edges_hex, batch_format="pyarrow")
     nodes.write_parquet(f"{out_dir}/nodes")
     edges.write_parquet(f"{out_dir}/edges")
     return f"{out_dir}/nodes", f"{out_dir}/edges"
