@@ -428,6 +428,12 @@ def run_gff(gff_path: str, out_dir: str, fmt: str = "gcf") -> dict:
         .sort_by("node_id")
     nodes_dir = os.path.join(out_dir, "nodes")
     edges_dir = os.path.join(out_dir, "edges")
+    # clear stale parts: write_parquet appends uniquely-named files, so
+    # a rerun into the same out_dir would accumulate old edge rows
+    import shutil as _shutil
+
+    _shutil.rmtree(nodes_dir, ignore_errors=True)
+    _shutil.rmtree(edges_dir, ignore_errors=True)
     if edge_rows:
         edges_ds = finalize_edges(
             ray.data.from_arrow(pa.Table.from_pylist(edge_rows)))

@@ -79,11 +79,10 @@ def build_canonical_mapping(linked_ds, num_partitions: int = 64) -> dict:
     # exchange key is a small int, ops.hashagg layout) so each
     # surface's edges land in one partition, then per-partition
     # dedup + union-find compress to (member, root) edges.
-    from ..ops.hashagg import _bucket_column
+    from ..ops.hashagg import append_bucket
 
     def add_bucket(t: pa.Table) -> pa.Table:
-        return t.append_column("bucket",
-                               _bucket_column(t, ["surface"], num_partitions))
+        return append_bucket(t, ["surface"], num_partitions)
 
     def bucket_uf(g: pa.Table) -> pa.Table:
         return _local_unionfind(_distinct_pairs(g.drop_columns(["bucket"])))
@@ -172,8 +171,9 @@ def aggregate_counts(ds, key: str, salt_buckets: int | None = None,
 
     ``salt_buckets=None`` → plain groupby-count (one shuffle of all rows).
     ``salt_buckets=S`` → per-batch partial counts on (key, salt) where
-    salt = stable_hash(key ⊕ row) % S, then a final groupby(key) over the
-    tiny partials — the hot-key (Zipfian entity) path. Counting is
+    salt = row_position_in_batch % S (spreads a hot key's rows across S
+    partial rows regardless of its hash), then a final groupby(key) over
+    the tiny partials — the hot-key (Zipfian entity) path. Counting is
     associative, so salted == unsalted exactly (tested)."""
     if salt_buckets is None:
         out = ds.groupby(key).count()

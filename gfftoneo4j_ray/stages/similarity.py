@@ -98,7 +98,12 @@ def brute_force_topk(emb_ds, query_ids: list[int], k: int = 5,
             "cos_c": pa.array(cc[order], pa.int64()),
         })
 
-    return partial.groupby("query_id").map_groups(merge, batch_format="pyarrow")
+    # coalesce the tiny per-batch top-k partials before the merge
+    # exchange: sort emits one (possibly EMPTY) partition per input
+    # block, and empty partitions surface as schema-less blocks (the
+    # Ray 2.49 "RefBundle with a different schema" log noise)
+    return partial.repartition(4).groupby("query_id") \
+        .map_groups(merge, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -287,7 +292,8 @@ def ivf_topk(emb_ds, query_ids: list[int], k: int = 5, n_cells: int = 16,
             "cos_c": pa.array([c for _, c in items], pa.int64()),
         })
 
-    return partial.groupby("query_id").map_groups(merge, batch_format="pyarrow")
+    return partial.repartition(4).groupby("query_id") \
+        .map_groups(merge, batch_format="pyarrow")
 
 
 def recall_vs_bruteforce(approx_df, exact_df) -> float:
