@@ -213,6 +213,10 @@ def q_minhash_neardup(sf_dir: str):
     })
 
 
+def q_simhash_neardup(sf_dir: str):
+    return dedup.simhash_neardup_pairs(_docs(sf_dir), max_hamming=3)
+
+
 def q_emb_neardup(sf_dir: str):
     # synthetic embeddings are near-orthogonal (max cos ≈ 0.51); 0.35
     # marks the top ~0.1% most-similar pairs as "near-dups"
@@ -272,6 +276,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_langid": q_langid,                  # golden-parquet oracle
         "q_fingerprint": q_fingerprint,        # golden-parquet oracle
         "q_simhash": q_simhash,                # golden-parquet oracle
+        "q_simhash_neardup": q_simhash_neardup,  # golden self-join oracle
         "q_minhash_neardup": q_minhash_neardup,  # exact-shingle-Jaccard SQL
         "q_emb_neardup": q_emb_neardup,        # exact cosine SQL oracle
         "q_ann_lsh": q_ann_lsh,                # rows-only (approximate)
@@ -499,6 +504,15 @@ def oracle_sql() -> dict[str, str]:
         "kg_edges": r"""
             SELECT src, dst, type, pred, weight
             FROM read_parquet('/root/repo/gfftoneo4j_ray/goldens/sf0_01_kg_edges.parquet')
+        """,
+        "q_simhash_neardup": r"""
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT)
+                       AS hamming
+            FROM read_parquet('/root/repo/gfftoneo4j_ray/goldens/sf0_01_simhash.parquet') a
+            JOIN read_parquet('/root/repo/gfftoneo4j_ray/goldens/sf0_01_simhash.parquet') b
+              ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
         """,
         # --- real SQL oracles for the near-dup family --------------------
         "q_minhash_neardup": r"""

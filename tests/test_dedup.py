@@ -183,3 +183,39 @@ def test_embedding_neardup_lsh_recall(ray_session):
     assert len(e) >= 20
     assert a <= e                       # no false positives (exact verify)
     assert len(a & e) / len(e) >= 0.8   # recall bound
+
+
+def test_simhash_neardup_matches_bruteforce(ray_session):
+    """The bucketed chunk-match path is EXACT for max_hamming < 4
+    (pigeonhole over 4 disjoint 16-bit chunks): equal to the all-pairs
+    popcount scan on the same corpus."""
+    import ray
+
+    base = ("the quick brown fox jumps over the lazy dog near the river "
+            "bank every single morning before the sun rises high").split()
+    texts = []
+    for i in range(60):
+        words = list(base)
+        # vary one word per doc family → tiny Hamming perturbations
+        words[i % len(words)] = f"w{i // len(words)}"
+        texts.append(" ".join(words))
+    texts += texts[:5]                     # exact dups → hamming 0 pairs
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })).repartition(7)
+
+    got = dedup.simhash_neardup_pairs(ds, max_hamming=3).to_pandas()
+
+    hashes = np.array([dedup.simhash64(t) for t in texts], dtype=np.uint64)
+    iu, ju = np.triu_indices(len(texts), k=1)
+    ham = dedup._popcount64(hashes[iu] ^ hashes[ju])
+    keep = ham <= 3
+    exp = sorted(zip(iu[keep].tolist(), ju[keep].tolist(),
+                     ham[keep].tolist()))
+    assert len(exp) >= 5                   # the planted dups alone give 10
+    assert sorted(map(tuple, got[["doc_a", "doc_b", "hamming"]]
+                      .itertuples(index=False))) == \
+        [(int(a), int(b), int(h)) for a, b, h in exp]
+    with pytest.raises(ValueError):
+        dedup.simhash_neardup_pairs(ds, max_hamming=4)
