@@ -166,8 +166,13 @@ def q_kg_triples_pr(sf_dir: str, max_sample_pages: int = 20000):
 
 def q_mm_payload_features(sf_dir: str):
     feats = multimodal.apply(derive_pages(sf_dir))
-    # project list column away for the rows-only check
+    # project list column away for the value-hash check
     return feats.select_columns(["url", "n_bytes", "payload_sha1"])
+
+
+def q_mm_frame_sample(sf_dir: str):
+    frames = multimodal.sample_frames(derive_pages(sf_dir))
+    return frames.select_columns(["url", "frame_idx", "frame_sha1"])
 
 
 # ---------------------------------------------------------------------------
@@ -267,7 +272,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_shuffle_join": R.q_shuffle_join,
         "q_topk_per_group": R.q_topk_per_group,
         "q_session_windows": R.q_session_windows,
+        "q_hopping_window": R.q_hopping_window,
         "q_asof_join": R.q_asof_join,
+        "q_range_join": R.q_range_join,
         # text analysis / dedup / similarity (training-data ops)
         "q_text_stats": q_text_stats,
         "q_dedup_exact": q_dedup_exact,
@@ -281,12 +288,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_emb_neardup": q_emb_neardup,        # exact cosine SQL oracle
         "q_ann_lsh": q_ann_lsh,                # rows-only (approximate)
         "q_ann_ivf": q_ann_ivf,                # rows-only (approximate)
-        # KG pipeline (non-SQL-expressible: html derivation + extraction)
-        "kg_triples": q_kg_triples,
+        # KG pipeline (html derivation + extraction; goldens from the
+        # sequential reference engine / single-batch kernel pass)
+        "kg_triples": q_kg_triples,           # golden-parquet oracle
         "kg_triples_pr": q_kg_triples_pr,      # P/R vs the oracle extractor
         "kg_nodes": q_kg_nodes,
         "kg_edges": q_kg_edges,
-        "mm_payload_features": q_mm_payload_features,
+        "mm_payload_features": q_mm_payload_features,  # golden oracle
+        "mm_frame_sample": q_mm_frame_sample,          # golden oracle
     }
 
 
@@ -364,6 +373,22 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY event_type, window_id
         """,
+        "q_hopping_window": r"""
+            SELECT ws_us,
+                   COUNT(*) AS n_events,
+                   CAST(FLOOR(SUM(value) * 100 + 0.5) AS BIGINT) AS value_c
+            FROM (
+                SELECT (epoch_us(ts) // 1800000000) * 1800000000 AS ws_us,
+                       value
+                FROM events
+                UNION ALL
+                SELECT (epoch_us(ts) // 1800000000) * 1800000000
+                       - 1800000000 AS ws_us,
+                       value
+                FROM events
+            )
+            GROUP BY ws_us
+        """,
         "q_union_counts": r"""
             SELECT user_id, COUNT(*) AS n_events FROM (
                 SELECT user_id FROM events WHERE event_type = 'error'
@@ -425,6 +450,17 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_events,
                    CAST(MAX(tus) - MIN(tus) AS BIGINT) AS dur_us
             FROM y GROUP BY user_id, session_id
+        """,
+        "q_range_join": r"""
+            SELECT p.event_id,
+                   COUNT(c.event_id) AS n_prior_clicks
+            FROM events p
+            LEFT JOIN events c
+              ON c.user_id = p.user_id
+             AND c.event_type = 'click'
+             AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+            WHERE p.event_type = 'purchase'
+            GROUP BY p.event_id
         """,
         "q_asof_join": r"""
             WITH subs AS (
@@ -496,6 +532,18 @@ def oracle_sql() -> dict[str, str]:
         "q_langid": r"""
             SELECT doc_id, lang_pred
             FROM read_parquet('/root/repo/gfftoneo4j_ray/goldens/sf0_01_langid.parquet')
+        """,
+        "mm_payload_features": r"""
+            SELECT url, n_bytes, payload_sha1
+            FROM read_parquet('/root/repo/gfftoneo4j_ray/goldens/sf0_01_mm_features.parquet')
+        """,
+        "mm_frame_sample": r"""
+            SELECT url, frame_idx, frame_sha1
+            FROM read_parquet('/root/repo/gfftoneo4j_ray/goldens/sf0_01_mm_frames.parquet')
+        """,
+        "kg_triples": r"""
+            SELECT url, sent_idx, subj, pred, obj
+            FROM read_parquet('/root/repo/gfftoneo4j_ray/goldens/sf0_01_kg_triples.parquet')
         """,
         "kg_nodes": r"""
             SELECT node_id, label, key, entity_type, n_mentions

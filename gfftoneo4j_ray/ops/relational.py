@@ -351,6 +351,45 @@ def q_window_agg(sf_dir: str):
     return agg.map_batches(finalize, batch_format="pyarrow")
 
 
+def q_hopping_window(sf_dir: str):
+    """Hopping (sliding) window (§2.7): 1h windows hopping every 30min
+    — each event lands in exactly 2 windows (window start ∈
+    {bucket30(ts), bucket30(ts) − 30min}). The 2-way window assignment
+    and hash_aggregate's per-batch partial combine are both map-side
+    (Ray fuses the consecutive map_batches into one task), so the
+    shuffle moves ~2×#distinct-windows partial rows, not 2× the event
+    stream."""
+    from .hashagg import hash_aggregate
+
+    HOP_US = 1_800_000_000
+
+    ds = _read(sf_dir, "events", columns=["ts", "value"])
+
+    def assign(t: pa.Table) -> pa.Table:
+        tus = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        w0 = (tus // HOP_US) * HOP_US
+        ws = np.concatenate([w0, w0 - HOP_US])
+        val = t["value"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "ws_us": pa.array(ws, pa.int64()),
+            "value": pa.array(np.concatenate([val, val]), pa.float64()),
+        })
+
+    agg = hash_aggregate(ds.map_batches(assign, batch_format="pyarrow"),
+                         ["ws_us"],
+                         [("value", "count", "n_events"),
+                          ("value", "sum", "value_raw")], num_buckets=8)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "ws_us": pc.cast(t["ws_us"], pa.int64()),
+            "n_events": pc.cast(t["n_events"], pa.int64()),
+            "value_c": _scaled(t["value_raw"].to_numpy(zero_copy_only=False)),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
 def q_semi_join(sf_dir: str):
     """Semi-join, mixed strategy: customer is dimension-sized so its
     BUILDING key set is broadcast (ray.put once, map-side is_in filter
@@ -575,6 +614,69 @@ def q_asof_join(sf_dir: str):
             "gap_us": pa.array(
                 (m["tus"] - m["signup_tus"]).to_numpy().astype("int64"),
                 pa.int64()),
+        })
+
+    return ds.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(
+            lambda g: per_bucket(g.drop_columns(["bucket"])),
+            batch_format="pyarrow")
+
+
+def q_range_join(sf_dir: str):
+    """Range (band/interval) join — the non-equi join family member the
+    Dataset API lacks: for each 'purchase' event, the number of 'click'
+    events by the SAME user with ts in [purchase_ts − 1h, purchase_ts]
+    (left-join semantics: purchases with no prior click emit 0).
+
+    Layout: bucket on hash(user_id) % 32 (both sides ride the same
+    exchange — events is read once); inside a bucket, clicks are sorted
+    by a composite (user_id, ts) key packed into one int64, and every
+    purchase's window becomes TWO vectorized ``np.searchsorted`` probes
+    (count = right(hi) − left(lo)) — no per-user or per-row Python.
+    The pack is exact while ts_span(bucket) × user_range fits in int64
+    (asserted); at a span where it cannot, split buckets by time range
+    first — the probe stays the same.
+
+    Partitioning assumption (documented per the custom-operator rule):
+    correctness needs all events of a user in one group, which the
+    hash bucket guarantees; skew is bounded by per-user event counts."""
+    from .hashagg import append_bucket
+
+    WINDOW_US = 3_600_000_000
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts",
+                                          "event_type"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["event_type"],
+                              value_set=pa.array(["purchase", "click"])))
+        return append_bucket(t, ["user_id"], 32)
+
+    RANGE_SCHEMA = pa.schema([("event_id", pa.int64()),
+                              ("n_prior_clicks", pa.int64())])
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return RANGE_SCHEMA.empty_table()
+        uid = g["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        etype = g["event_type"].to_numpy(zero_copy_only=False)
+        t0 = ts.min()
+        rel = ts - t0
+        k = np.int64(1) << np.int64(int(rel.max() + WINDOW_US + 1)
+                                    .bit_length())
+        assert (uid.max() + 1) < (np.iinfo(np.int64).max // k), \
+            "composite key overflow: split the bucket by time range"
+        is_click = etype == "click"
+        ck = np.sort(uid[is_click] * k + rel[is_click])
+        is_buy = etype == "purchase"
+        base = uid[is_buy] * k
+        lo = np.maximum(rel[is_buy] - WINDOW_US, 0)
+        n = (np.searchsorted(ck, base + rel[is_buy], side="right")
+             - np.searchsorted(ck, base + lo, side="left"))
+        return pa.table({
+            "event_id": g["event_id"].to_numpy(zero_copy_only=False)[is_buy],
+            "n_prior_clicks": pa.array(n.astype(np.int64), pa.int64()),
         })
 
     return ds.map_batches(add_bucket, batch_format="pyarrow") \

@@ -172,7 +172,8 @@ def run(pages_path: str, dict_path: str, out_root: str, *,
         b"\x00".join(k.encode() for k in
                      dict_table.column("entity_key").to_pylist())
     ).hexdigest()[:12]
-    fingerprint = (f"{pages_path}:{pages.count()}:fmt2"
+    # fmt3: range-bucketed sorted parts + _mention_counts side file
+    fingerprint = (f"{pages_path}:{pages.count()}:fmt3"
                    f":vt{int(cfg.verify_text)}:{extractor_name}"
                    f":dict{dict_table.num_rows}-{dict_id}")
 
@@ -303,70 +304,50 @@ def run(pages_path: str, dict_path: str, out_root: str, *,
             lambda t: t.rename_columns(["src", "dst", "type", "pred", "w"]),
             batch_format="pyarrow")
         edge_partials = edge_partials.union(order)
-    # pin before the sort: Ray's sort consumes its input twice
-    # (boundary sampling + exchange) — a lazy upstream would re-execute
-    # end-to-end per pass
-    edges_ds = graph.finalize_edges(edge_partials).materialize()
-    mark("edges finalize")
 
     known_ids = {nid for _, nid in mapping.values()}
-    counts = graph.mention_counts_from_edges(edges_ds, known_ids)
-    mark("mention counts")
+    nodes_dir = os.path.join(out_root, "nodes")
+    edges_dir = os.path.join(out_root, "edges")
+    _settle_fsspec_http()
+    import shutil as _shutil
+
+    # fused edge sink: dedup + sort + sorted-part write + mention-count
+    # partials in ONE exchange, input consumed once (no materialize, no
+    # separate counts pass, no sample+sort) — see graph.py
+    if ckpt:
+        def edges_stage(tmp: str) -> dict:
+            n, _ = graph.finalize_sort_write_edges(edge_partials, tmp,
+                                                   known_ids)
+            return {"edges": n}
+        ckpt.run_stage("edges", edges_stage, fingerprint)
+        counts = graph.load_mention_counts(edges_dir)
+    else:
+        os.makedirs(out_root, exist_ok=True)
+        # clear stale parts: a rerun into the same out_root must not
+        # mix old and new rows
+        _shutil.rmtree(edges_dir, ignore_errors=True)
+        _, counts = graph.finalize_sort_write_edges(edge_partials,
+                                                    edges_dir, known_ids)
+    mark("edges sink")
+
     ent_nodes = ray.data.from_arrow(
         graph.entity_nodes_from_mapping(mapping, counts, type_of))
     nodes_ds = ent_nodes.union(graph.page_nodes(page_meta)) \
                         .union(graph.nil_entity_nodes(canon_committed, known_ids))
-    nodes_ds = nodes_ds.materialize()
-    mark("nodes build")
-
-    nodes_dir = os.path.join(out_root, "nodes")
-    edges_dir = os.path.join(out_root, "edges")
-    # the two final sort+writes are independent — run them concurrently
-    # (each drives its own streaming execution; overlaps shuffle of one
-    # with the disk write of the other)
-    from concurrent.futures import ThreadPoolExecutor
-
-    _settle_fsspec_http()
-
+    # single consumer (the range-sorted sink) → stays lazy end-to-end
     if ckpt:
         def nodes_stage(tmp: str) -> dict:
-            _write_stage(nodes_ds.sort("node_id")
-                         .map_batches(graph.encode_nodes_hex,
-                                      batch_format="pyarrow"),
-                         tmp, graph.NODES_SCHEMA)
-            return {}
-        def edges_stage(tmp: str) -> dict:
-            _write_stage(edges_ds.sort(["src", "type", "dst", "pred"])
-                         .map_batches(graph.encode_edges_hex,
-                                      batch_format="pyarrow"),
-                         tmp, graph.EDGES_SCHEMA)
-            return {}
-        with ThreadPoolExecutor(max_workers=2) as ex:
-            fn = ex.submit(ckpt.run_stage, "nodes", nodes_stage, fingerprint)
-            fe = ex.submit(ckpt.run_stage, "edges", edges_stage, fingerprint)
-            fn.result()
-            fe.result()
-        mark("sort+write")
+            n = graph.range_sorted_write(nodes_ds, "node_id", ["node_id"],
+                                         tmp, graph.NODES_SCHEMA,
+                                         graph.encode_nodes_hex)
+            return {"nodes": n}
+        ckpt.run_stage("nodes", nodes_stage, fingerprint)
     else:
-        os.makedirs(out_root, exist_ok=True)
-        # clear stale parts: write_parquet appends uniquely-named files,
-        # so a rerun into the same out_root would mix old and new rows
-        import shutil as _shutil
-
         _shutil.rmtree(nodes_dir, ignore_errors=True)
-        _shutil.rmtree(edges_dir, ignore_errors=True)
-        with ThreadPoolExecutor(max_workers=2) as ex:
-            fn = ex.submit(lambda: _write_stage(
-                nodes_ds.sort("node_id")
-                .map_batches(graph.encode_nodes_hex, batch_format="pyarrow"),
-                nodes_dir, graph.NODES_SCHEMA))
-            fe = ex.submit(lambda: _write_stage(
-                edges_ds.sort(["src", "type", "dst", "pred"])
-                .map_batches(graph.encode_edges_hex, batch_format="pyarrow"),
-                edges_dir, graph.EDGES_SCHEMA))
-            fn.result()
-            fe.result()
-        mark("sort+write")
+        graph.range_sorted_write(nodes_ds, "node_id", ["node_id"],
+                                 nodes_dir, graph.NODES_SCHEMA,
+                                 graph.encode_nodes_hex)
+    mark("nodes sink")
 
     return {
         "out_root": out_root,

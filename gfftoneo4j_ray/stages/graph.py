@@ -321,6 +321,184 @@ def encode_edges_hex(t: pa.Table) -> pa.Table:
             .set_column(1, "dst", hex_encode_ids(t["dst"]))
 
 
+# ---------------------------------------------------------------------------
+# Range-bucketed sorted sink — ONE exchange replaces sort (sample +
+# 2-phase) + write, and the input is consumed exactly once (so no
+# pre-sort materialize is needed). sha1-derived ids are uniform over
+# the keyspace, so the first byte of the binary(20) key is a perfect
+# range partitioner: bucket order == key order, and per-bucket sort +
+# filename order == global sort. Output is partitioned parquet
+# (part-000..part-NNN), the resumable-output layout: a rerun can skip
+# completed buckets, and readers get global order from filename order.
+# ---------------------------------------------------------------------------
+
+def _first_byte(arr) -> "np.ndarray":
+    """First byte of each value of a (chunked) fixed_size_binary(20)
+    column, zero-copy off the Arrow data buffer."""
+    import numpy as np
+
+    chunks = arr.chunks if isinstance(arr, pa.ChunkedArray) else [arr]
+    outs = []
+    for c in chunks:
+        if len(c) == 0:
+            continue
+        w = c.type.byte_width
+        buf = np.frombuffer(c.buffers()[1], dtype=np.uint8)
+        o = c.offset * w
+        outs.append(buf[o:o + len(c) * w].reshape(-1, w)[:, 0].copy())
+    if not outs:
+        return np.empty(0, dtype=np.uint8)
+    return np.concatenate(outs)
+
+
+def _append_range_bucket(t: pa.Table, key: str, num_buckets: int) -> pa.Table:
+    import numpy as np
+
+    assert num_buckets in (1, 2, 4, 8, 16, 32, 64, 128, 256)
+    shift = 8 - (num_buckets.bit_length() - 1)
+    rb = (_first_byte(t[key]) >> shift).astype(np.int32)
+    return t.replace_schema_metadata(None).append_column(
+        "_rb", pa.array(rb, pa.int32()))
+
+
+def _write_part(t: pa.Table, out_dir: str, rb: int) -> None:
+    """Atomic per-bucket part write (tmp + rename; deterministic
+    content makes task retries idempotent)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = os.path.join(out_dir, f"part-{rb:03d}.parquet")
+    tmp = path + ".tmp"
+    pq.write_table(t, tmp, compression="zstd")
+    os.replace(tmp, path)
+
+
+def _count_part_rows(out_dir: str) -> int:
+    import os
+
+    import pyarrow.parquet as pq
+
+    return sum(pq.read_metadata(os.path.join(out_dir, f)).num_rows
+               for f in os.listdir(out_dir)
+               if f.endswith(".parquet") and not f.startswith("_"))
+
+
+def range_sorted_write(ds, key: str, sort_keys: list, out_dir: str,
+                       schema: pa.Schema, encode_fn, num_buckets: int = 64) -> int:
+    """Sink ``ds`` as globally-sorted partitioned parquet; returns rows
+    written. ``key`` (binary(20)) is the range-partition column and
+    must be ``sort_keys[0]``; ``encode_fn`` maps the internal binary
+    layout to the public hex schema after the in-bucket sort
+    (order-preserving). At larger scale raise ``num_buckets`` (≤256
+    here via 1 prefix byte; extend to 2 bytes for >256)."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    order = [(k, "ascending") for k in sort_keys]
+
+    def write_group(g: pa.Table) -> pa.Table:
+        rb = g["_rb"][0].as_py()
+        t = g.drop_columns(["_rb"]).sort_by(order)
+        _write_part(encode_fn(t), out_dir, rb)
+        return pa.table({"bucket": pa.array([rb], pa.int32())})
+
+    ds.map_batches(lambda t: _append_range_bucket(t, key, num_buckets),
+                   batch_format="pyarrow") \
+        .groupby("_rb").map_groups(write_group, batch_format="pyarrow") \
+        .materialize()
+    n = _count_part_rows(out_dir)
+    if n == 0 and not any(f.endswith(".parquet") for f in os.listdir(out_dir)):
+        write_empty_parts(out_dir, schema)
+    return n
+
+
+_COUNTS_SIDE_FILE = "_mention_counts.parquet"  # '_' prefix: ignored by
+# parquet dataset discovery (pyarrow ignore_prefixes default), so edge
+# readers never see it
+
+
+def finalize_sort_write_edges(edge_partials_ds, out_dir: str,
+                              known_ids_hex: set,
+                              num_buckets: int = 64) -> tuple[int, dict]:
+    """Fused edge sink: partial edge rows → per-range-bucket exact
+    dedup (D1) + sort + sorted-part write + mention-count partials, in
+    ONE exchange and one pass (replaces finalize_edges.materialize() +
+    mention_counts_from_edges + sort + write — three extra passes of
+    the full edge table).
+
+    Returns (n_edges, {entity node_id hex: mention count}) and leaves
+    the counts beside the parts as ``_mention_counts.parquet`` so a
+    checkpoint resume can reload them without re-aggregating."""
+    import os
+
+    import numpy as np
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    # dictionary-bounded value set (ray.put-broadcast it if the
+    # dictionary universe ever stops being driver-small)
+    known_arr = pa.array(sorted(bytes.fromhex(k) for k in known_ids_hex),
+                         pa.binary(20))
+    order = [(k, "ascending") for k in ("src", "type", "dst", "pred")]
+    COUNTS_SCHEMA = pa.schema([("dst", pa.binary(20)), ("n", pa.int64())])
+
+    def write_group(g: pa.Table) -> pa.Table:
+        rb = g["_rb"][0].as_py()
+        t = g.drop_columns(["_rb"])
+        t = t.group_by(["src", "dst", "type", "pred"]).aggregate([("w", "sum")])
+        expected = ["src", "dst", "type", "pred", "w_sum"]
+        if t.column_names != expected:   # see ops/hashagg._checked_rename
+            raise AssertionError(f"group_by output order changed: "
+                                 f"{t.column_names}")
+        t = t.rename_columns(["src", "dst", "type", "pred", "weight"])
+        t = t.set_column(4, "weight", t["weight"].cast(pa.int64()))
+        t = t.sort_by(order)
+        _write_part(encode_edges_hex(t), out_dir, rb)
+        m = pc.and_(pc.equal(t["type"], "mentions"),
+                    pc.is_in(t["dst"], value_set=known_arr))
+        cm = t.filter(m).group_by("dst").aggregate([("weight", "sum")])
+        if cm.num_rows == 0:
+            return COUNTS_SCHEMA.empty_table()
+        return cm.rename_columns(["dst", "n"]).cast(COUNTS_SCHEMA)
+
+    partials = edge_partials_ds.map_batches(
+        lambda t: _append_range_bucket(t, "src", num_buckets),
+        batch_format="pyarrow") \
+        .groupby("_rb").map_groups(write_group, batch_format="pyarrow") \
+        .take_all()
+
+    counts: dict[str, int] = {}
+    for row in partials:
+        d = row["dst"]
+        counts[d.hex()] = counts.get(d.hex(), 0) + int(row["n"])
+
+    n = _count_part_rows(out_dir)
+    if n == 0 and not any(f.endswith(".parquet") and not f.startswith("_")
+                          for f in os.listdir(out_dir)):
+        write_empty_parts(out_dir, EDGES_SCHEMA)
+    pq.write_table(
+        pa.table({"node_id": pa.array(sorted(counts), pa.string()),
+                  "n": pa.array([counts[k] for k in sorted(counts)],
+                                pa.int64())}),
+        os.path.join(out_dir, _COUNTS_SIDE_FILE))
+    return n, counts
+
+
+def load_mention_counts(edges_dir: str) -> dict:
+    """Reload the fused counts side-file written by
+    finalize_sort_write_edges (checkpoint-resume path)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(edges_dir, _COUNTS_SIDE_FILE))
+    return dict(zip(t["node_id"].to_pylist(),
+                    (int(x) for x in t["n"].to_pylist())))
+
+
 def sort_and_write(nodes_ds, edges_ds, out_dir: str):
     """Final contract: nodes by node_id, edges by (src, type, dst) —
     sorted in the binary(20) representation (identical order to hex),

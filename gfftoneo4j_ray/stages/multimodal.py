@@ -84,3 +84,110 @@ def apply(ds, payload_col: str = "html", key_col: str = "url",
         PayloadFeaturizer, batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency,
         fn_constructor_kwargs={"payload_col": payload_col, "key_col": key_col})
+
+
+# ---------------------------------------------------------------------------
+# decode → resize and video frame-sampling plumbing
+# ---------------------------------------------------------------------------
+
+def fake_decode(payload: bytes, h: int = 16, w: int = 16) -> np.ndarray:
+    """Deterministic pseudo-decode: payload bytes → (h, w) uint8
+    "pixels" via a counter-mode blake2b stream. Stands in for the
+    codec (absent in this container) with a numerically real array so
+    resize/tensor plumbing is fully testable; swap for the real
+    decoder (decode_image) when the library is present."""
+    need = h * w
+    out = bytearray()
+    ctr = 0
+    seed = payload or b""
+    while len(out) < need:
+        out += hashlib.blake2b(seed, digest_size=32,
+                               salt=ctr.to_bytes(8, "little")).digest()
+        ctr += 1
+    return np.frombuffer(bytes(out[:need]), dtype=np.uint8).reshape(h, w)
+
+
+def resize_nn(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Vectorized nearest-neighbor resize (pure numpy index take)."""
+    in_h, in_w = img.shape
+    rows = (np.arange(out_h) * in_h) // out_h
+    cols = (np.arange(out_w) * in_w) // out_w
+    return img[rows[:, None], cols[None, :]]
+
+
+class ImageResizer:
+    """Actor-pool worker: (key, payload) → fixed-shape resized pixel
+    tensors as ``list<uint8>`` of length out_h×out_w (the flat layout
+    every Arrow consumer — and Ray's tensor extension — can read
+    zero-copy). Decode is the deterministic fake (STUB — codec libs
+    absent here); a real build replaces ``fake_decode`` with
+    ``decode_image`` loaded once per actor in ``__init__``."""
+
+    def __init__(self, payload_col: str = "html", key_col: str = "url",
+                 src_hw: tuple = (16, 16), out_hw: tuple = (4, 4)):
+        self.payload_col = payload_col
+        self.key_col = key_col
+        self.src_hw = src_hw
+        self.out_hw = out_hw
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        oh, ow = self.out_hw
+        pix = [resize_nn(fake_decode(p, *self.src_hw), oh, ow).reshape(-1)
+               for p in t[self.payload_col].to_pylist()]
+        return pa.table({
+            self.key_col: t[self.key_col],
+            "height": pa.array([oh] * len(pix), pa.int32()),
+            "width": pa.array([ow] * len(pix), pa.int32()),
+            "pixels": pa.array([p.tolist() for p in pix],
+                               pa.list_(pa.uint8())),
+        })
+
+
+class FrameSampler:
+    """Actor-pool worker for "video" payloads: one input row →
+    ``n_frames`` output rows (key, frame_idx, frame_sha1, features) —
+    the flat_map explode layout a real frame sampler produces. The
+    frame count is a deterministic function of the payload
+    (1 + sha1 % max_frames) and each frame is a byte-window of the
+    payload, so row counts and values are stable for tests/goldens.
+    Payloads are dropped at emit (the §4.2 payload-hygiene rule)."""
+
+    def __init__(self, payload_col: str = "html", key_col: str = "url",
+                 max_frames: int = 4, dim: int = FEATURE_DIM):
+        self.payload_col = payload_col
+        self.key_col = key_col
+        self.max_frames = max_frames
+        self.dim = dim
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        keys_in = t[self.key_col].to_pylist()
+        o_key, o_idx, o_sha, o_feat = [], [], [], []
+        for key, p in zip(keys_in, t[self.payload_col].to_pylist()):
+            p = p or b""
+            n = 1 + int.from_bytes(hashlib.sha1(p).digest()[:4],
+                                   "little") % self.max_frames
+            span = max(1, len(p) // n)
+            for i in range(n):
+                frame = p[i * span:(i + 1) * span]
+                o_key.append(key)
+                o_idx.append(i)
+                o_sha.append(hashlib.sha1(frame).hexdigest())
+                o_feat.append(fake_features(frame, self.dim).tolist())
+        return pa.table({
+            self.key_col: pa.array(o_key, pa.string()),
+            "frame_idx": pa.array(o_idx, pa.int32()),
+            "frame_sha1": pa.array(o_sha, pa.string()),
+            "features": pa.array(o_feat, pa.list_(pa.float64())),
+        })
+
+
+def sample_frames(ds, payload_col: str = "html", key_col: str = "url",
+                  max_frames: int = 4, batch_size: int = 128,
+                  concurrency=(1, 4)):
+    """binary-payload Dataset → exploded per-frame feature rows."""
+    return ds.map_batches(
+        FrameSampler, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency,
+        fn_constructor_kwargs={"payload_col": payload_col,
+                               "key_col": key_col,
+                               "max_frames": max_frames})

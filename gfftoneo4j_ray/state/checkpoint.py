@@ -105,7 +105,10 @@ class CheckpointedRun:
 
         out = []
         for name in sorted(os.listdir(d)):
-            if not name.endswith(".parquet"):
+            # '_'-prefixed files are side channels (e.g. the fused
+            # mention-counts file), hidden from dataset discovery by
+            # the Arrow ignore_prefixes convention — not data parts
+            if not name.endswith(".parquet") or name.startswith("_"):
                 continue
             path = os.path.join(d, name)
             md = pq.read_metadata(path)

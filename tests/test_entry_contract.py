@@ -47,7 +47,7 @@ def _to_df(res):
 
 ORACLE_SUBSET = ["q_lineitem_agg", "q_group_consistency", "q_adjacent_pairs",
                  "q_dedup_exact", "q_text_stats", "q_ann_topk",
-                 "q_window_agg", "q_join_enrich"]
+                 "q_window_agg", "q_join_enrich", "q_range_join"]
 
 
 @pytest.mark.parametrize("name", ORACLE_SUBSET)

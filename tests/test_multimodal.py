@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pytest
 
@@ -39,3 +40,51 @@ def test_distributed_featurize(ray_session, tiny_corpus):
     assert out["payload_sha1"].str.len().eq(40).all()
     # payload column dropped from the output
     assert "html" not in out.columns
+
+
+def test_fake_decode_resize_shapes_and_determinism():
+    img = multimodal.fake_decode(b"payload", 16, 16)
+    assert img.shape == (16, 16) and img.dtype.name == "uint8"
+    assert (img == multimodal.fake_decode(b"payload", 16, 16)).all()
+    small = multimodal.resize_nn(img, 4, 4)
+    assert small.shape == (4, 4)
+    # nearest-neighbor: every output pixel is an input pixel
+    assert np.isin(small, img).all()
+    # upsample round-trips the corner pixel
+    big = multimodal.resize_nn(small, 8, 8)
+    assert big[0, 0] == small[0, 0]
+
+
+def test_image_resizer_batch_layout():
+    r = multimodal.ImageResizer(out_hw=(4, 4))
+    t = pa.table({"url": ["a", "b"],
+                  "html": pa.array([b"x", b"y"], pa.binary())})
+    out = r(t)
+    assert out.column_names == ["url", "height", "width", "pixels"]
+    pix = out["pixels"].to_pylist()
+    assert all(len(p) == 16 for p in pix)
+    assert pix[0] != pix[1]          # content-dependent
+    assert r(t).equals(out)          # deterministic
+
+
+def test_frame_sampler_explode_and_determinism(ray_session, tiny_corpus):
+    import ray
+
+    s = multimodal.FrameSampler(max_frames=4)
+    t = pa.table({"url": ["a", "b"],
+                  "html": pa.array([b"0123456789abcdef", b""], pa.binary())})
+    out = s(t)
+    assert out.column_names == ["url", "frame_idx", "frame_sha1", "features"]
+    # per-key frame counts: 1..max_frames, frame_idx dense from 0
+    import collections
+    per = collections.Counter(out["url"].to_pylist())
+    for k, n in per.items():
+        assert 1 <= n <= 4
+    assert s(t).equals(out)
+
+    pages = ray.data.read_parquet(f"{tiny_corpus}/pages",
+                                  columns=["url", "html"])
+    frames = multimodal.sample_frames(pages, batch_size=64,
+                                      concurrency=(1, 2)).to_pandas()
+    assert frames["url"].nunique() == 240
+    assert (frames.groupby("url")["frame_idx"].min() == 0).all()

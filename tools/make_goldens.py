@@ -61,6 +61,44 @@ def main() -> None:
     pq.write_table(edges, os.path.join(OUT, "sf0_01_kg_edges.parquet"))
     print("kg goldens:", nodes.num_rows, "nodes,", edges.num_rows, "edges")
 
+    # --- kg_triples golden (sequential single-batch extraction) ------------
+    # the sequential form of __ray_entry__.q_kg_triples: extract text,
+    # drop quarantined pages, lang-gate to "en", run the SAME
+    # TripleExtractor kernel over ONE batch in one process — the
+    # distributed map_batches assembly must reproduce it exactly.
+    from gfftoneo4j_ray.functions.text import extract_text_safe
+    from gfftoneo4j_ray.stages.triples import TripleExtractor
+
+    clean = []
+    for p in pages:
+        text, reason = extract_text_safe(p["html"])
+        if reason is None and p["lang"] == "en":
+            clean.append((p["url"], text))
+    tri = TripleExtractor()(pa.table({
+        "url": pa.array([u for u, _ in clean], pa.string()),
+        "text": pa.array([t for _, t in clean], pa.string()),
+        "lang": pa.array(["en"] * len(clean), pa.string()),
+    }))
+    pq.write_table(tri.select(["url", "sent_idx", "subj", "pred", "obj"]),
+                   os.path.join(OUT, "sf0_01_kg_triples.parquet"))
+    print("kg_triples golden:", tri.num_rows, "triples")
+
+    # --- multimodal goldens (deterministic fake featurizer/sampler) --------
+    from gfftoneo4j_ray.stages.multimodal import FrameSampler, PayloadFeaturizer
+
+    pages_t = pa.table({
+        "url": pa.array([p["url"] for p in pages], pa.string()),
+        "html": pa.array([p["html"] for p in pages], pa.binary()),
+    })
+    feats = PayloadFeaturizer()(pages_t)
+    pq.write_table(feats.select(["url", "n_bytes", "payload_sha1"]),
+                   os.path.join(OUT, "sf0_01_mm_features.parquet"))
+    frames = FrameSampler()(pages_t)
+    pq.write_table(frames.select(["url", "frame_idx", "frame_sha1"]),
+                   os.path.join(OUT, "sf0_01_mm_frames.parquet"))
+    print("mm goldens:", feats.num_rows, "features,", frames.num_rows,
+          "frames")
+
     # --- per-doc function goldens ------------------------------------------
     docs = pq.read_table(os.path.join(SF, "documents.parquet"),
                          columns=["doc_id", "text"])
