@@ -38,6 +38,7 @@ class KgConfig:
     link_concurrency: int | tuple = (1, 4)
     link_batch_size: int = 8192
     canon_concurrency: int | tuple = (1, 4)
+    canon_batch_size: int = 4096
     # extraction strategy (profile surface); None = stages.triples.TripleExtractor
     extractor_cls: type | None = None
     input_columns: tuple = ("url", "warc_ts", "html", "lang")
@@ -48,6 +49,9 @@ class KgConfig:
     # blocks for the input read; ≥ 8× cluster cores keeps every core fed
     # (None = Ray's row-group-based default)
     override_num_blocks: int | None = None
+    # range buckets (= part files = reduce parallelism) of the final
+    # node/edge sinks; power of two ≤ 256
+    sink_buckets: int = 128
 
 
 def _read_pages(pages_path: str, cfg: KgConfig):
@@ -265,18 +269,26 @@ def run(pages_path: str, dict_path: str, out_root: str, *,
 
     # ---- canonical mapping (driver-small, dictionary-bounded) -------------
     mapping = canonicalize.build_canonical_mapping(linked_ds)
+    map_ref = ray.put(mapping)
     mark("mapping")
-    canon_ds = canonicalize.apply(linked_ds, mapping,
-                                  concurrency=cfg.canon_concurrency)
 
     if ckpt:
+        canon_ds = canonicalize.apply(linked_ds, mapping,
+                                      concurrency=cfg.canon_concurrency)
+
         def canon_stage(tmp: str) -> dict:
             _write_stage(canon_ds.repartition(128), tmp, _canonical_schema())
             return {"canonical_entities": len({v[1] for v in mapping.values()})}
         canon_committed = ckpt.run_stage("canonical", canon_stage, fingerprint)
     else:
-        # consumed by three sinks (counts, edges, nil nodes) — pin once
-        canon_committed = canon_ds.repartition(128).materialize()
+        # streaming: NO materialized canonical table at all — the edge
+        # and nil-node sink pipelines fuse the mapping lookup into
+        # their own slim actor kernels (graph.EmitEdgesPartial /
+        # NilNodePartials) over column-pruned views of the pinned
+        # linked table, overlapping the tagging with the sink
+        # exchange+write. The checkpointed mode keeps the committed
+        # full-width canonical stage for resume granularity.
+        canon_committed = None
 
     mark("canon")
 
@@ -297,8 +309,16 @@ def run(pages_path: str, dict_path: str, out_root: str, *,
 
     # edges first: the deduped `mentions` edge weights double as the
     # per-entity mention counts (one aggregation instead of two)
-    edge_partials = canon_committed.map_batches(
-        graph.emit_asserts_mentions_alias, batch_format="pyarrow")
+    if ckpt:
+        edge_partials = canon_committed.map_batches(
+            graph.emit_asserts_mentions_alias, batch_format="pyarrow")
+    else:
+        edge_partials = linked_ds \
+            .select_columns(["url", "subj", "obj", "pred"]) \
+            .map_batches(graph.EmitEdgesPartial, batch_format="pyarrow",
+                         batch_size=cfg.canon_batch_size,
+                         concurrency=cfg.canon_concurrency,
+                         fn_constructor_kwargs={"map_ref": map_ref})
     if cfg.emit_order_edges:
         order = graph.order_edges(page_meta).map_batches(
             lambda t: t.rename_columns(["src", "dst", "type", "pred", "w"]),
@@ -317,7 +337,8 @@ def run(pages_path: str, dict_path: str, out_root: str, *,
     if ckpt:
         def edges_stage(tmp: str) -> dict:
             n, _ = graph.finalize_sort_write_edges(edge_partials, tmp,
-                                                   known_ids)
+                                                   known_ids,
+                                                   num_buckets=cfg.sink_buckets)
             return {"edges": n}
         ckpt.run_stage("edges", edges_stage, fingerprint)
         counts = graph.load_mention_counts(edges_dir)
@@ -327,26 +348,42 @@ def run(pages_path: str, dict_path: str, out_root: str, *,
         # mix old and new rows
         _shutil.rmtree(edges_dir, ignore_errors=True)
         _, counts = graph.finalize_sort_write_edges(edge_partials,
-                                                    edges_dir, known_ids)
+                                                    edges_dir, known_ids,
+                                                    num_buckets=cfg.sink_buckets)
     mark("edges sink")
 
     ent_nodes = ray.data.from_arrow(
         graph.entity_nodes_from_mapping(mapping, counts, type_of))
+    # NIL partials flow straight into the sink exchange (dedup_key):
+    # no separate distinct exchange, and the whole nodes pipeline is
+    # one lazy pass ending in the range-sorted sink
+    if ckpt:
+        nil_partials = graph.nil_entity_node_partials(canon_committed,
+                                                      known_ids)
+    else:
+        nil_partials = linked_ds \
+            .select_columns(["subj", "subj_type", "obj", "obj_type"]) \
+            .map_batches(graph.NilNodePartials, batch_format="pyarrow",
+                         batch_size=cfg.canon_batch_size,
+                         concurrency=cfg.canon_concurrency,
+                         fn_constructor_kwargs={"map_ref": map_ref})
     nodes_ds = ent_nodes.union(graph.page_nodes(page_meta)) \
-                        .union(graph.nil_entity_nodes(canon_committed, known_ids))
-    # single consumer (the range-sorted sink) → stays lazy end-to-end
+        .union(nil_partials)
     if ckpt:
         def nodes_stage(tmp: str) -> dict:
             n = graph.range_sorted_write(nodes_ds, "node_id", ["node_id"],
                                          tmp, graph.NODES_SCHEMA,
-                                         graph.encode_nodes_hex)
+                                         graph.encode_nodes_hex,
+                                         num_buckets=cfg.sink_buckets,
+                                         dedup_key=True)
             return {"nodes": n}
         ckpt.run_stage("nodes", nodes_stage, fingerprint)
     else:
         _shutil.rmtree(nodes_dir, ignore_errors=True)
         graph.range_sorted_write(nodes_ds, "node_id", ["node_id"],
                                  nodes_dir, graph.NODES_SCHEMA,
-                                 graph.encode_nodes_hex)
+                                 graph.encode_nodes_hex,
+                                 num_buckets=cfg.sink_buckets, dedup_key=True)
     mark("nodes sink")
 
     return {

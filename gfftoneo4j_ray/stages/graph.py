@@ -33,8 +33,9 @@ import re
 import pyarrow as pa
 
 from ..functions.hashing import (alias_node_id, alias_node_id_bin,
-                                 hex_decode_ids, hex_encode_ids,
-                                 page_node_id, page_node_id_bin)
+                                 content_id_bin, hex_decode_ids,
+                                 hex_encode_ids, page_node_id,
+                                 page_node_id_bin)
 
 NODES_SCHEMA = pa.schema([
     ("node_id", pa.string()),
@@ -122,6 +123,103 @@ def emit_asserts_mentions_alias(batch: pa.Table) -> pa.Table:
     g = g.rename_columns(["src", "dst", "type", "pred", "w"])
     return g.set_column(g.schema.get_field_index("w"), "w",
                         g["w"].cast(pa.int64()))
+
+
+class EmitEdgesPartial:
+    """Actor-pool worker for the STREAMING edge path: linked triples →
+    partial-aggregated edge rows, with the canonical-id lookup fused in
+    (mapping hit → its node id; miss → NIL sha1('entity', surface) —
+    byte-identical to ApplyCanonical + emit_asserts_mentions_alias, but
+    no full-width canonical table ever exists: the exchange consumes
+    4 string columns, not the 16-column canon layout)."""
+
+    def __init__(self, map_ref=None, mapping: dict | None = None) -> None:
+        import ray
+
+        self.mapping = mapping if mapping is not None else ray.get(map_ref)
+
+    def _nid(self, surface: str) -> bytes:
+        hit = self.mapping.get(surface)
+        if hit is not None:
+            return bytes.fromhex(hit[1])
+        return content_id_bin("entity", surface)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        urls = batch.column("url").to_pandas()
+        preds = batch.column("pred").to_pandas()
+        s_surf = batch.column("subj").to_pandas()
+        o_surf = batch.column("obj").to_pandas()
+        nid_of = {s: self._nid(s)
+                  for s in pd.unique(pd.concat([s_surf, o_surf]))}
+        s_nid = s_surf.map(nid_of)
+        o_nid = o_surf.map(nid_of)
+        pid = urls.map({u: page_node_id_bin(u) for u in pd.unique(urls)})
+        s_aid = s_surf.map({a: alias_node_id_bin(a)
+                            for a in pd.unique(s_surf)})
+        o_aid = o_surf.map({a: alias_node_id_bin(a)
+                            for a in pd.unique(o_surf)})
+        n = len(urls)
+        empty = pd.Series([""] * n)
+        frames = [
+            pd.DataFrame({"src": s_nid, "dst": o_nid,
+                          "type": "asserts", "pred": preds}),
+            pd.DataFrame({"src": pid, "dst": s_nid,
+                          "type": "mentions", "pred": empty}),
+            pd.DataFrame({"src": pid, "dst": o_nid,
+                          "type": "mentions", "pred": empty}),
+            pd.DataFrame({"src": s_aid, "dst": s_nid,
+                          "type": "alias_of", "pred": empty}),
+            pd.DataFrame({"src": o_aid, "dst": o_nid,
+                          "type": "alias_of", "pred": empty}),
+        ]
+        t = pa.Table.from_pandas(pd.concat(frames, ignore_index=True),
+                                 preserve_index=False)
+        t = t.set_column(0, "src", t["src"].cast(pa.binary(20))) \
+             .set_column(1, "dst", t["dst"].cast(pa.binary(20)))
+        g = t.group_by(["src", "dst", "type", "pred"]) \
+            .aggregate([("src", "count")])
+        g = g.rename_columns(["src", "dst", "type", "pred", "w"])
+        return g.set_column(g.schema.get_field_index("w"), "w",
+                            g["w"].cast(pa.int64()))
+
+
+class NilNodePartials:
+    """Actor-pool worker for the STREAMING nodes path: linked triples →
+    per-batch-distinct NIL entity node rows straight from the mapping
+    misses (equivalent to nil_entity_node_partials over tagged canon
+    rows: a mapping hit's node id is in known_ids by construction, so
+    'not resolved by the mapping' == 'not in known_ids')."""
+
+    def __init__(self, map_ref=None, mapping: dict | None = None) -> None:
+        import ray
+
+        self.mapping = mapping if mapping is not None else ray.get(map_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        # C-level dedup to DISTINCT surfaces first; Python touches only
+        # the per-batch distinct set (bounded by vocabulary, not rows)
+        df = pd.concat(
+            [pd.DataFrame({"s": batch.column(side).to_pandas(),
+                           "t": batch.column(f"{side}_type").to_pandas()})
+             for side in ("subj", "obj")],
+            ignore_index=True).drop_duplicates("s")
+        items = sorted((s, t if pd.notna(t) else None)
+                       for s, t in zip(df["s"], df["t"])
+                       if s not in self.mapping)
+        n = len(items)
+        return pa.table({
+            "node_id": pa.array([content_id_bin("entity", s)
+                                 for s, _ in items], pa.binary(20)),
+            "label": pa.array(["entity"] * n, pa.string()),
+            "key": pa.array([s for s, _ in items], pa.string()),
+            "entity_type": pa.array([t for _, t in items], pa.string()),
+            "surface_forms": pa.array([None] * n, pa.list_(pa.string())),
+            "n_mentions": pa.array([None] * n, pa.int64()),
+        })
 
 
 def _order_edges_bucket(bucket: pa.Table) -> pa.Table:
@@ -259,6 +357,43 @@ def page_nodes(pages_ds):
     return pages_ds.map_batches(to_nodes, batch_format="pyarrow")
 
 
+def nil_entity_node_partials(canon_ds, known_node_ids: set):
+    """Per-batch-distinct NIL entity node rows (duplicates across
+    batches allowed and bit-identical: node_id = sha1('entity',
+    surface) determines key == surface, and entity_type is the
+    deterministic per-surface linker output). Feed into
+    ``range_sorted_write(dedup_key=True)`` so the sink exchange doubles
+    as the global distinct; NIL surfaces are unbounded at scale so they
+    never pass through the driver mapping."""
+    known_set = {bytes.fromhex(k) for k in sorted(known_node_ids)}
+
+    def partial(t: pa.Table) -> pa.Table:
+        parts = []
+        for s in ("subj", "obj"):
+            p_ = t.select([f"{s}_node_id", f"{s}_canon", f"{s}_type"]) \
+                .rename_columns(["node_id", "key", "entity_type"])
+            p_ = p_.set_column(0, "node_id", hex_decode_ids(p_["node_id"]))
+            parts.append(p_)
+        both = pa.concat_tables(parts)
+        d = both.group_by("node_id").aggregate(
+            [("key", "min"), ("entity_type", "min")]) \
+            .rename_columns(["node_id", "key", "entity_type"])
+        mask = [nid not in known_set
+                for nid in d.column("node_id").to_pylist()]
+        d = d.filter(pa.array(mask, pa.bool_()))
+        n = d.num_rows
+        return pa.table({
+            "node_id": d.column("node_id"),
+            "label": pa.array(["entity"] * n, pa.string()),
+            "key": d.column("key"),
+            "entity_type": d.column("entity_type"),
+            "surface_forms": pa.array([None] * n, pa.list_(pa.string())),
+            "n_mentions": pa.array([None] * n, pa.int64()),
+        })
+
+    return canon_ds.map_batches(partial, batch_format="pyarrow")
+
+
 def nil_entity_nodes(canon_ds, known_node_ids: set):
     """Entity nodes for NIL (out-of-dictionary) canonical entities.
 
@@ -385,14 +520,23 @@ def _count_part_rows(out_dir: str) -> int:
 
 
 def range_sorted_write(ds, key: str, sort_keys: list, out_dir: str,
-                       schema: pa.Schema, encode_fn, num_buckets: int = 64) -> int:
+                       schema: pa.Schema, encode_fn, num_buckets: int = 64,
+                       dedup_key: bool = False) -> int:
     """Sink ``ds`` as globally-sorted partitioned parquet; returns rows
     written. ``key`` (binary(20)) is the range-partition column and
     must be ``sort_keys[0]``; ``encode_fn`` maps the internal binary
     layout to the public hex schema after the in-bucket sort
     (order-preserving). At larger scale raise ``num_buckets`` (≤256
-    here via 1 prefix byte; extend to 2 bytes for >256)."""
+    here via 1 prefix byte; extend to 2 bytes for >256).
+
+    ``dedup_key=True`` keeps the first row per ``key`` after the sort —
+    valid ONLY when duplicate-key rows are bit-identical (the NIL
+    node-partial contract: per-batch distinct partials of the same
+    node_id carry identical content), which makes the sink exchange
+    double as the global distinct — no separate dedup exchange."""
     import os
+
+    import numpy as np
 
     os.makedirs(out_dir, exist_ok=True)
 
@@ -401,6 +545,11 @@ def range_sorted_write(ds, key: str, sort_keys: list, out_dir: str,
     def write_group(g: pa.Table) -> pa.Table:
         rb = g["_rb"][0].as_py()
         t = g.drop_columns(["_rb"]).sort_by(order)
+        if dedup_key and t.num_rows > 1:
+            ids = np.array(t[key].to_pylist(), dtype=object)
+            keep = np.r_[True, ids[1:] != ids[:-1]]
+            if not keep.all():
+                t = t.filter(pa.array(keep, pa.bool_()))
         _write_part(encode_fn(t), out_dir, rb)
         return pa.table({"bucket": pa.array([rb], pa.int32())})
 
