@@ -270,6 +270,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_semi_join": R.q_semi_join,
         "q_anti_join": R.q_anti_join,
         "q_shuffle_join": R.q_shuffle_join,
+        "q_outer_join": R.q_outer_join,
         "q_topk_per_group": R.q_topk_per_group,
         "q_session_windows": R.q_session_windows,
         "q_hopping_window": R.q_hopping_window,
@@ -417,6 +418,20 @@ def oracle_sql() -> dict[str, str]:
                    o_custkey, o_orderpriority
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
+        """,
+        "q_outer_join": r"""
+            WITH per_cust AS (
+                SELECT o_custkey, COUNT(o_orderkey) AS n_open
+                FROM orders WHERE o_orderstatus = 'O'
+                GROUP BY o_custkey
+            ),
+            rich AS (
+                SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 5000
+            )
+            SELECT COALESCE(p.o_custkey, r.c_custkey) AS custkey,
+                   p.n_open, r.c_name
+            FROM per_cust p
+            FULL OUTER JOIN rich r ON p.o_custkey = r.c_custkey
         """,
         "q_topk_per_group": r"""
             SELECT l_orderkey, CAST(rnk AS BIGINT) AS rnk, l_linenumber,

@@ -25,8 +25,9 @@ keys are bounded by bucket granularity (salt the key upstream if one
 key exceeds a worker's heap — same contract as hash_aggregate).
 ``num_buckets`` is the reduce parallelism: size ≈ 2× cluster cores.
 
-Join types: inner, left (left outer), semi (left semi), anti (left
-anti) — each mapped onto the corresponding Acero join.
+Join types: inner, left (left outer), full (full outer), semi (left
+semi), anti (left anti) — each mapped onto the corresponding Acero
+join; full-outer keys are the coalesced join keys.
 """
 
 from __future__ import annotations
@@ -38,6 +39,7 @@ from .hashagg import _bucket_column
 _ACERO_TYPE = {
     "inner": "inner",
     "left": "left outer",
+    "full": "full outer",
     "semi": "left semi",
     "anti": "left anti",
 }
@@ -57,7 +59,7 @@ def hash_join(left_ds, right_ds, on, *, right_on=None, how: str = "inner",
     the sides (rename upstream — no implicit suffixing).
 
     Output columns: left columns (keys under their left names), then —
-    for inner/left — the right side's non-key columns. semi/anti emit
+    for inner/left/full — the right side's non-key columns. semi/anti emit
     left columns only. Key dtypes must match exactly on both sides
     (cast upstream): the bucket hash is value-based per dtype, and a
     silent cross-dtype hash mismatch would drop matches.
@@ -134,7 +136,7 @@ def hash_join(left_ds, right_ds, on, *, right_on=None, how: str = "inner",
         right_ds.map_batches(pad_right, batch_format="pyarrow"))
 
     jt = _ACERO_TYPE[how]
-    out_names = lcols + (rpayload if how in ("inner", "left") else [])
+    out_names = lcols + (rpayload if how in ("inner", "left", "full") else [])
 
     def join_bucket(g: pa.Table) -> pa.Table:
         import numpy as np
@@ -157,8 +159,14 @@ def hash_join(left_ds, right_ds, on, *, right_on=None, how: str = "inner",
             "__ridx", pa.array(np.arange(rt.num_rows, dtype=np.int64)))
         idx = ltk.join(rtk, keys=lkeys, right_keys=lkeys, join_type=jt,
                        coalesce_keys=True)
-        left_part = lt.take(idx["__lidx"])
-        cols = {c: left_part[c] for c in lcols}
+        # keys come from the join's coalesced key columns (for full
+        # outer, right-only rows have no left index to take from);
+        # non-key columns gather via take, null-safe on miss indices
+        cols = {k: idx[k] for k in lkeys}
+        lidx = idx["__lidx"]
+        for c in lcols:
+            if c not in lkeys:
+                cols[c] = lt[c].take(lidx)
         ridx = idx["__ridx"]
         for c in rpayload:
             cols[c] = rt[c].take(ridx)

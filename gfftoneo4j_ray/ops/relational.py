@@ -476,6 +476,47 @@ def q_shuffle_join(sf_dir: str):
     return joined.map_batches(finalize, batch_format="pyarrow")
 
 
+def q_outer_join(sf_dir: str):
+    """Full-outer fact×dimension join through the distributed shuffle
+    join: open-order counts per customer FULL OUTER JOIN high-balance
+    customers — unmatched rows survive on BOTH sides (customers with no
+    open orders; open-order customers below the balance cut). Keys are
+    the coalesced join keys, matching SQL COALESCE semantics."""
+    from .hashagg import hash_aggregate
+    from .join import hash_join
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey",
+                                              "o_orderstatus"])
+
+    def open_only(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["o_orderstatus"], "O")) \
+            .select(["o_custkey", "o_orderkey"])
+
+    per_cust = hash_aggregate(
+        orders.map_batches(open_only, batch_format="pyarrow"),
+        "o_custkey", [("o_orderkey", "count", "n_open")], num_buckets=16)
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_acctbal",
+                                              "c_name"])
+
+    def rich_only(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t["c_acctbal"], 5000.0)) \
+            .select(["c_custkey", "c_name"])
+
+    rich = cust.map_batches(rich_only, batch_format="pyarrow")
+    joined = hash_join(per_cust, rich, on="o_custkey", right_on="c_custkey",
+                       how="full", num_buckets=32)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "custkey": pc.cast(t["o_custkey"], pa.int64()),
+            "n_open": pc.cast(t["n_open"], pa.int64()),
+            "c_name": t["c_name"],
+        })
+
+    return joined.map_batches(finalize, batch_format="pyarrow")
+
+
 def q_topk_per_group(sf_dir: str):
     """Windowed top-k (row_number ≤ 3 per group): the 3 most expensive
     lineitems per order — per-group sort inside map_groups over hash

@@ -123,3 +123,28 @@ def test_name_collision_raises(ray_session):
                                           "v": pa.array([2], pa.int64())}))
     with pytest.raises(ValueError):
         hash_join(left, right, on="k")
+
+
+def test_full_outer_matches_pandas(ray_session):
+    """full outer: unmatched rows survive on both sides with coalesced
+    keys; cross-checked against pandas merge(how='outer')."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    rng = np.random.default_rng(3)
+    left = pd.DataFrame({"k": rng.integers(0, 40, 120).astype("int64"),
+                         "lv": np.arange(120, dtype="int64")})
+    right = pd.DataFrame({"k": (rng.integers(20, 60, 80) * 1).astype("int64"),
+                          "rv": np.arange(80, dtype="int64")})
+    right = right.drop_duplicates("k")
+    lds = ray.data.from_arrow(pa.Table.from_pandas(left)).repartition(5)
+    rds = ray.data.from_arrow(pa.Table.from_pandas(right)).repartition(3)
+    got = hash_join(lds, rds, on="k", how="full", num_buckets=8).to_pandas()
+    exp = left.merge(right, on="k", how="outer")
+    key = lambda df: sorted(map(tuple, df[["k", "lv", "rv"]]
+                                .fillna(-1).itertuples(index=False)))
+    assert key(got) == key(exp)
+    # right-only keys present with null lv
+    right_only = set(right["k"]) - set(left["k"])
+    assert right_only and right_only <= set(got[got["lv"].isna()]["k"])
