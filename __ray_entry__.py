@@ -22,11 +22,14 @@ from typing import Any
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+import gfftoneo4j_ray
 from gfftoneo4j_ray.functions import textstats
 from gfftoneo4j_ray.ops import relational as R
 from gfftoneo4j_ray.sources.pages import derive_pages
 from gfftoneo4j_ray.stages import (dedup, extract_text, multimodal,
                                    similarity, triples)
+
+gfftoneo4j_ray.quiet_empty_schema_warnings()
 
 
 def _docs(sf_dir: str, columns=("doc_id", "text")):

@@ -25,3 +25,26 @@ groupby/sort shuffles with documented keys (SURVEY.md §7.4).
 """
 
 __version__ = "0.1.0"
+
+
+def quiet_empty_schema_warnings() -> None:
+    """Drop Ray Data's cosmetic empty-block schema-divergence warning.
+
+    Ray's sort-based exchanges emit schema-less empty blocks for empty
+    partitions (e.g. a groupby bucket with no rows), and the streaming
+    executor then logs ``Operator produced a RefBundle with a different
+    schema … new schema: .`` once per such block. Every UDF in this
+    package returns schema-correct (typed) tables even when empty, so
+    the divergence is always Ray-internal and harmless. Entry surfaces
+    (bench.py, __ray_entry__, tests) opt in explicitly — library code
+    never mutates logging."""
+    import logging
+
+    class _DropEmptySchemaWarn(logging.Filter):
+        def filter(self, record: logging.LogRecord) -> bool:  # noqa: A003
+            return ("different schema than the previous"
+                    not in record.getMessage())
+
+    logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state"
+    ).addFilter(_DropEmptySchemaWarn())

@@ -50,13 +50,20 @@ def _null_column(n: int, typ: pa.DataType) -> pa.Array:
 
 
 def hash_join(left_ds, right_ds, on, *, right_on=None, how: str = "inner",
-              num_buckets: int = 64):
+              num_buckets: int = 64, left_schema: pa.Schema | None = None,
+              right_schema: pa.Schema | None = None):
     """Join two Datasets on equality keys via one bucketed shuffle.
 
     ``on``: left key column name(s). ``right_on``: right key names
     (default: same as ``on``); right keys are renamed onto the left
     names in the output. Non-key column names must be disjoint between
     the sides (rename upstream — no implicit suffixing).
+
+    ``left_schema`` / ``right_schema``: optional schema hints. A lazy
+    Dataset whose plan can't report its schema is otherwise pinned with
+    a ``materialize()`` (an extra execution barrier); passing the known
+    schema keeps the whole join lazy so it fuses into one streaming job
+    with its consumers.
 
     Output columns: left columns (keys under their left names), then —
     for inner/left/full — the right side's non-key columns. semi/anti emit
@@ -77,15 +84,17 @@ def hash_join(left_ds, right_ds, on, *, right_on=None, how: str = "inner",
     # exponentially) — if the plan doesn't already know its schema,
     # pin the side in the object store first. The exchange would
     # materialize the same bytes anyway, so this costs no extra I/O.
-    def _ensure_schema(ds):
+    def _ensure_schema(ds, hint):
+        if hint is not None:
+            return ds, hint
         s = ds.schema(fetch_if_missing=False)
         if s is None:
             ds = ds.materialize()
             s = ds.schema()
         return ds, s.base_schema
 
-    left_ds, lschema = _ensure_schema(left_ds)
-    right_ds, rschema = _ensure_schema(right_ds)
+    left_ds, lschema = _ensure_schema(left_ds, left_schema)
+    right_ds, rschema = _ensure_schema(right_ds, right_schema)
     lcols = list(lschema.names)
     rcols_all = list(rschema.names)
     rpayload = [c for c in rcols_all if c not in rkeys]

@@ -142,7 +142,9 @@ def q_two_level_rollup(sf_dir: str):
 
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
     enriched = hash_join(per_order, orders, on="l_orderkey",
-                         right_on="o_orderkey", how="inner", num_buckets=32)
+                         right_on="o_orderkey", how="inner", num_buckets=32,
+                         left_schema=pa.schema([("l_orderkey", pa.int64()),
+                                                ("order_qty", pa.float64())]))
     per_cust = hash_aggregate(enriched, "o_custkey",
                               [("order_qty", "sum", "cust_qty_raw"),
                                ("order_qty", "count", "n_orders")],
@@ -418,7 +420,8 @@ def q_semi_join(sf_dir: str):
     li = _read(sf_dir, "lineitem",
                columns=["l_orderkey", "l_linenumber", "l_quantity"])
     kept = hash_join(li, orders_f, on="l_orderkey", right_on="o_orderkey",
-                     how="semi", num_buckets=32)
+                     how="semi", num_buckets=32,
+                     right_schema=pa.schema([("o_orderkey", pa.int64())]))
 
     def finalize(t: pa.Table) -> pa.Table:
         return pa.table({
@@ -446,7 +449,8 @@ def q_anti_join(sf_dir: str):
         .map_batches(big, batch_format="pyarrow")
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
     return hash_join(cust, big_orders, on="c_custkey", right_on="o_custkey",
-                     how="anti", num_buckets=16)
+                     how="anti", num_buckets=16,
+                     right_schema=pa.schema([("o_custkey", pa.int64())]))
 
 
 def q_shuffle_join(sf_dir: str):
@@ -505,7 +509,11 @@ def q_outer_join(sf_dir: str):
 
     rich = cust.map_batches(rich_only, batch_format="pyarrow")
     joined = hash_join(per_cust, rich, on="o_custkey", right_on="c_custkey",
-                       how="full", num_buckets=32)
+                       how="full", num_buckets=32,
+                       left_schema=pa.schema([("o_custkey", pa.int64()),
+                                              ("n_open", pa.int64())]),
+                       right_schema=pa.schema([("c_custkey", pa.int64()),
+                                               ("c_name", pa.string())]))
 
     def finalize(t: pa.Table) -> pa.Table:
         return pa.table({

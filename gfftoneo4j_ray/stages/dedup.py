@@ -11,10 +11,14 @@ Scale design:
   * exact: content hash computed map-side (vectorized), groupby on the
     hash (shuffle moves (hash, id) pairs, not text), min-id winner.
   * MinHash-LSH: per-batch shingle→minhash (numpy, vectorized over the
-    hash matrix), explode to (band_id, band_hash) rows, groupby bands →
-    candidate pairs, verify exact Jaccard per pair, then min-label
-    connected components. Only candidate pairs (not all pairs) are
-    verified — the standard web-dedup layout.
+    hash matrix), explode to SLIM (band_id, band_hash, doc_id) rows
+    (20 B — token payloads never ride the band exchange), groupby bands
+    → candidate pairs, exact-Jaccard verify sized to candidate volume
+    (pair-keyed exchange under a bound, two-sided shuffle join of
+    shingle sets above it), then connected components sized to verified
+    edge count (driver union-find under the bound, distributed
+    min-label propagation above). Only candidate pairs (not all pairs)
+    are verified — the standard web-dedup layout.
   * SimHash: 64-bit projection per doc; buckets on 4×16-bit chunks.
   * n-gram Jaccard: exact pairwise via an inverted token index —
     bounded inputs only (the oracle-checkable exact path); LSH is the
@@ -99,85 +103,82 @@ def exact_dedup(docs_ds, text_col: str = "text", id_col: str = "doc_id"):
 # MinHash + LSH near-dup
 # ---------------------------------------------------------------------------
 
-class MinHasher:
-    """Actor-pool worker: docs → LSH band rows (band_id, band_hash, doc_id).
-
-    Permutation params built once per actor (T1 stateful pattern)."""
-
-    def __init__(self, num_perm: int = 64, bands: int = 16, shingle_k: int = 3):
-        self.a, self.b = _perm_params(num_perm)
-        self.bands = bands
-        self.rows_per_band = num_perm // bands
-        self.k = shingle_k
-
-    def __call__(self, t: pa.Table) -> pa.Table:
-        ids, band_ids, band_hashes = [], [], []
-        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            sig = minhash_signature(_shingles(text or "", self.k), self.a, self.b)
-            for bi in range(self.bands):
-                chunk = sig[bi * self.rows_per_band:(bi + 1) * self.rows_per_band]
-                bh = hashlib.blake2b(chunk.tobytes(), digest_size=8).digest()
-                ids.append(did)
-                band_ids.append(bi)
-                band_hashes.append(int.from_bytes(bh, "little") >> 1)
-        return pa.table({
-            "doc_id": pa.array(ids, pa.int64()),
-            "band_id": pa.array(band_ids, pa.int32()),
-            "band_hash": pa.array(band_hashes, pa.int64()),
-        })
+# permutation params / broadcast objects cached once per WORKER PROCESS
+# (module-level — survives across batches and across queries; the
+# actor-pool pattern is reserved for heavy per-worker state like the
+# linker index, where construction cost justifies actor startup)
+_PERM_CACHE: dict = {}
+_WORKER_CACHE: dict = {}
 
 
-class MinHashBandToks:
-    """Actor-pool worker: docs → band rows that ALSO carry the doc's
-    shingle-hash set (band_id, band_hash, doc_id, toks) so exact
-    verification can happen inside the band bucket (see
-    minhash_verified_pairs).
+def _cached_perms(num_perm: int) -> tuple[np.ndarray, np.ndarray]:
+    if num_perm not in _PERM_CACHE:
+        _PERM_CACHE[num_perm] = _perm_params(num_perm)
+    return _PERM_CACHE[num_perm]
 
-    Verification uses the SAME k-token-shingle sets the minhash
-    signature estimates — candidate generation and verification agree
-    on one similarity (exact shingle Jaccard), which is also what the
-    DuckDB oracle computes. Hashes are 64-bit blake2b (stored as the
-    int64 two's-complement view); Jaccard over them equals Jaccard
-    over shingle strings up to a ~2^-64 collision."""
 
-    def __init__(self, num_perm: int = 64, bands: int = 16, shingle_k: int = 3):
-        self.a, self.b = _perm_params(num_perm)
-        self.bands = bands
-        self.rows_per_band = num_perm // bands
-        self.k = shingle_k
+def _cached_get(ref):
+    """ray.get with a per-worker deserialization cache: repeated
+    map_batches calls in one worker reuse the already-rebuilt object
+    instead of re-deserializing it from plasma every batch."""
+    import ray
 
-    def __call__(self, t: pa.Table) -> pa.Table:
-        ids, band_ids, band_hashes, toks_col = [], [], [], []
-        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            shingles = _shingles(text or "", self.k)
-            sig = minhash_signature(shingles, self.a, self.b)
-            shs = np.asarray(shingles, dtype=np.uint64).astype(np.int64)
-            for bi in range(self.bands):
-                chunk = sig[bi * self.rows_per_band:(bi + 1) * self.rows_per_band]
-                bh = hashlib.blake2b(chunk.tobytes(), digest_size=8).digest()
-                ids.append(did)
-                band_ids.append(bi)
-                band_hashes.append(int.from_bytes(bh, "little") >> 1)
-                toks_col.append(shs)
-        return pa.table({
-            "doc_id": pa.array(ids, pa.int64()),
-            "band_id": pa.array(band_ids, pa.int32()),
-            "band_hash": pa.array(band_hashes, pa.int64()),
-            "toks": pa.array(toks_col, pa.list_(pa.int64())),
-        })
+    key = ref.hex() if hasattr(ref, "hex") else str(ref)
+    if key not in _WORKER_CACHE:
+        _WORKER_CACHE[key] = ray.get(ref)
+    return _WORKER_CACHE[key]
+
+
+def _band_rows(t: pa.Table, num_perm: int, bands: int,
+               shingle_k: int) -> pa.Table:
+    """docs batch → SLIM LSH band rows (doc_id, band_id, band_hash).
+
+    20 bytes per row — the candidate-generation exchange moves
+    ~bands×20 bytes per doc and NEVER token payloads (shingle sets ship
+    separately, once per verified-candidate side, in the verify stage).
+    Plain task function: permutation params come from the per-worker
+    cache, so there is no actor-pool startup on the critical path."""
+    a, b = _cached_perms(num_perm)
+    rows_per_band = num_perm // bands
+    ids, band_ids, band_hashes = [], [], []
+    for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        sig = minhash_signature(_shingles(text or "", shingle_k), a, b)
+        for bi in range(bands):
+            chunk = sig[bi * rows_per_band:(bi + 1) * rows_per_band]
+            bh = hashlib.blake2b(chunk.tobytes(), digest_size=8).digest()
+            ids.append(did)
+            band_ids.append(bi)
+            band_hashes.append(int.from_bytes(bh, "little") >> 1)
+    return pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "band_id": pa.array(band_ids, pa.int32()),
+        "band_hash": pa.array(band_hashes, pa.int64()),
+    })
+
+
+_PAIRS_SCHEMA = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
 
 
 def minhash_candidates(docs_ds, num_perm: int = 64, bands: int = 16,
-                       concurrency=(1, 4)):
-    """docs → candidate pairs (doc_a < doc_b) sharing ≥1 LSH bucket."""
-    band_rows = docs_ds.map_batches(
-        MinHasher, batch_format="pyarrow", concurrency=concurrency,
-        fn_constructor_kwargs={"num_perm": num_perm, "bands": bands})
+                       concurrency=None, shingle_k: int = 3,
+                       distinct: bool = True):
+    """docs → candidate pairs (doc_a < doc_b) sharing ≥1 LSH bucket.
 
-    # bucket the bucket-space: groupby on a small int, per-(band,hash)
-    # pair generation via a pandas groupby INSIDE each bucket — avoids
-    # Ray's per-group Python dispatch over tens of thousands of groups
+    One slim exchange: band rows bucketed by (band_id, band_hash), pair
+    generation inside the bucket via a pandas groupby (no per-group
+    Python dispatch). ``distinct=False`` skips the pair-dedup exchange
+    — callers that collect or re-key the pairs dedup cheaper downstream
+    (a pair colliding in several bands repeats ≤ ``bands`` times).
+    ``concurrency`` is accepted for API stability but unused: the map
+    side runs as plain tasks on warm workers."""
+    import functools
+
     from ..ops.hashagg import append_bucket, hash_aggregate
+
+    band_rows = docs_ds.map_batches(
+        functools.partial(_band_rows, num_perm=num_perm, bands=bands,
+                          shingle_k=shingle_k),
+        batch_format="pyarrow")
 
     def add_bucket(t: pa.Table) -> pa.Table:
         return append_bucket(t, ["band_id", "band_hash"], 64)
@@ -198,6 +199,8 @@ def minhash_candidates(docs_ds, num_perm: int = 64, bands: int = 16,
         .groupby("bucket").map_groups(
             lambda g: pairs_in_bucket(g.drop_columns(["bucket"])),
             batch_format="pyarrow")
+    if not distinct:
+        return cand
     # dedup pairs found in multiple bands (bucketed distinct)
     return hash_aggregate(cand, ["doc_a", "doc_b"],
                           [("doc_a", "count", "_n")], num_buckets=32) \
@@ -233,92 +236,237 @@ def token_hash_sets(docs_ds, text_col: str = "text", id_col: str = "doc_id"):
     return docs_ds.map_batches(fn, batch_format="pyarrow")
 
 
-def minhash_verified_pairs(docs_ds, threshold: float = 0.8,
-                           num_perm: int = 64, bands: int = 16,
-                           concurrency=(1, 4), dedup_pairs: bool = True):
-    """LSH candidate pairs, exact-shingle-Jaccard-verified
-    DISTRIBUTEDLY → Dataset (doc_a, doc_b): a pair qualifies iff it
-    collides in ≥1 LSH band AND its exact k-shingle-set Jaccard ≥
-    ``threshold`` — the similarity the signature estimates is the one
-    verified (and the one the DuckDB oracle recomputes).
+def shingle_hash_sets(docs_ds, shingle_k: int = 3, text_col: str = "text",
+                      id_col: str = "doc_id"):
+    """docs → (doc_id, toks: sorted distinct k-shingle hashes, int64
+    two's-complement view). ONE pass over the corpus — the verify
+    payload moves once per consuming exchange, never ×bands."""
+    def fn(t: pa.Table) -> pa.Table:
+        toks = [np.asarray(_shingles(x or "", shingle_k),
+                           dtype=np.uint64).astype(np.int64)
+                for x in t[text_col].to_pylist()]
+        return pa.table({id_col: t[id_col],
+                         "toks": pa.array(toks, pa.list_(pa.int64()))})
 
-    Verification runs INSIDE the bucketed band stage (VERDICT r1 item
-    2, option A): each band row carries the doc's token-hash set, so a
-    bucket can verify its own candidate pairs immediately — no second
-    pass over the corpus, no pair×text join, no driver materialization.
-    Exchange volume = bands × token-hash sets; at petabyte scale where
-    that duplication bites, swap the payload for the fixed-width
-    minhash signature (estimated-Jaccard verify) or shuffle-join
-    ``token_hash_sets`` onto the pair list with ops.join.hash_join —
-    the layouts are interchangeable here.
+    return docs_ds.map_batches(fn, batch_format="pyarrow")
 
-    ``dedup_pairs=False`` skips the distinct-pair exchange; downstream
-    consumers that tolerate multi-edges (connected components: min is
-    idempotent) save one all-to-all.
-    """
-    from ..ops.hashagg import append_bucket, hash_aggregate
 
-    band_rows = docs_ds.map_batches(
-        MinHashBandToks, batch_format="pyarrow", concurrency=concurrency,
-        fn_constructor_kwargs={"num_perm": num_perm, "bands": bands})
+def _jaccard_i64(ta: np.ndarray, tb: np.ndarray) -> float:
+    if len(ta) == 0 and len(tb) == 0:
+        return 1.0
+    ni = np.intersect1d(ta, tb, assume_unique=True).size
+    return ni / (len(ta) + len(tb) - ni)
 
-    def add_bucket(t: pa.Table) -> pa.Table:
-        return append_bucket(t, ["band_id", "band_hash"], 32)
 
-    def verify_bucket(g: pa.Table) -> pa.Table:
-        df = g.to_pandas()
-        toks_of = {}
-        for d, t in zip(df["doc_id"], df["toks"]):
-            if d not in toks_of:
-                toks_of[d] = np.asarray(t, dtype=np.int64)
-        seen = set()
+def _verify_pairs_broadcast(docs_ds, pair_a: np.ndarray, pair_b: np.ndarray,
+                            threshold: float, shingle_k: int = 3,
+                            num_buckets: int = 16):
+    """Exact-Jaccard-verify a driver-resident candidate pair list,
+    distributedly, in ONE exchange.
+
+    The broadcast is doc IDS only (8 B/doc, via ``ray.put`` once, read
+    from the local object store per worker). Each member doc ships its
+    shingle-hash set once per pair it participates in, keyed by
+    pair_id, so exchange volume = 2×|pairs| sets — candidate-bounded,
+    never corpus-sized, never ×bands. Returns a (doc_a, doc_b)
+    Dataset of pairs with exact shingle Jaccard ≥ threshold."""
+    import ray
+
+    n_pairs = len(pair_a)
+    # CSR doc → pair-ids membership (zero-copy numpy through plasma)
+    both = np.concatenate([pair_a, pair_b]).astype(np.int64)
+    pids = np.tile(np.arange(n_pairs, dtype=np.int64), 2)
+    order = np.argsort(both, kind="stable")
+    sorted_docs = both[order]
+    sorted_pids = pids[order]
+    uniq, starts = np.unique(sorted_docs, return_index=True)
+    ends = np.append(starts[1:], len(sorted_pids))
+    memb_ref = ray.put((uniq, starts, ends, sorted_pids))
+
+    def emit(t: pa.Table) -> pa.Table:
+        uniq, starts, ends, spids = _cached_get(memb_ref)
+        ids = t["doc_id"].to_numpy()
+        pos = np.searchsorted(uniq, ids)
+        pos_c = np.minimum(pos, max(len(uniq) - 1, 0))
+        mask = (pos < len(uniq)) & (uniq[pos_c] == ids) \
+            if len(uniq) else np.zeros(len(ids), bool)
+        texts = t["text"].to_pylist()
+        out_pid: list[int] = []
+        out_doc: list[int] = []
+        out_toks: list[np.ndarray] = []
+        for i in np.flatnonzero(mask):
+            toks = np.asarray(_shingles(texts[i] or "", shingle_k),
+                              dtype=np.uint64).astype(np.int64)
+            u = pos[i]
+            for pid in spids[starts[u]:ends[u]]:
+                out_pid.append(int(pid))
+                out_doc.append(int(ids[i]))
+                out_toks.append(toks)
+        return pa.table({
+            "pair_id": pa.array(out_pid, pa.int64()),
+            "doc_id": pa.array(out_doc, pa.int64()),
+            "toks": pa.array(out_toks, pa.list_(pa.int64())),
+            "bucket": pa.array([p % num_buckets for p in out_pid],
+                               pa.int32()),
+        })
+
+    pairs_ref = ray.put((pair_a.astype(np.int64), pair_b.astype(np.int64)))
+
+    def verify(g: pa.Table) -> pa.Table:
+        pa_, pb_ = _cached_get(pairs_ref)
+        pid = g["pair_id"].to_numpy()
+        toks_col = g["toks"].combine_chunks()
+        by_pair: dict[int, list[int]] = {}
+        for i, p in enumerate(pid):
+            by_pair.setdefault(int(p), []).append(i)
         ka, kb = [], []
-        for _, grp in df.groupby(["band_id", "band_hash"], sort=True):
-            ids = sorted(set(grp["doc_id"]))
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    pair = (ids[i], ids[j])
-                    if pair in seen:
-                        continue
-                    seen.add(pair)
-                    ta, tb = toks_of[pair[0]], toks_of[pair[1]]
-                    if len(ta) == 0 and len(tb) == 0:
-                        jac = 1.0
-                    else:
-                        ni = np.intersect1d(ta, tb, assume_unique=True).size
-                        jac = ni / (len(ta) + len(tb) - ni)
-                    if jac >= threshold:
-                        ka.append(pair[0])
-                        kb.append(pair[1])
+        for p, idxs in sorted(by_pair.items()):
+            if len(idxs) != 2:
+                continue  # a member doc was absent from the corpus
+            ta = np.asarray(toks_col[idxs[0]].values, dtype=np.int64)
+            tb = np.asarray(toks_col[idxs[1]].values, dtype=np.int64)
+            if _jaccard_i64(ta, tb) >= threshold:
+                ka.append(int(pa_[p]))
+                kb.append(int(pb_[p]))
         return pa.table({"doc_a": pa.array(ka, pa.int64()),
                          "doc_b": pa.array(kb, pa.int64())})
 
-    verified = band_rows.map_batches(add_bucket, batch_format="pyarrow") \
+    return docs_ds.map_batches(emit, batch_format="pyarrow") \
         .groupby("bucket").map_groups(
-            lambda g: verify_bucket(g.drop_columns(["bucket"])),
+            lambda g: verify(g.drop_columns(["bucket"])),
             batch_format="pyarrow")
-    if not dedup_pairs:
-        return verified
-    # a pair can verify in several band buckets — bucketed distinct
-    return hash_aggregate(verified, ["doc_a", "doc_b"],
-                          [("doc_a", "count", "_n")], num_buckets=16) \
+
+
+def _verify_pairs_join(docs_ds, cand_ds, threshold: float,
+                       shingle_k: int = 3, num_buckets: int = 64):
+    """Fully-distributed verify (no driver pair materialization): two
+    bucketed shuffle joins attach each side's shingle set to the pair
+    row, then a vectorized filter keeps exact Jaccard ≥ threshold.
+    Exchange volume per join = |corpus| sets + |pairs| rows, each moved
+    once. Schema hints keep the whole chain lazy (one streaming job)."""
+    from ..ops.join import hash_join
+
+    toks = shingle_hash_sets(docs_ds, shingle_k)
+    toks_schema = pa.schema([("doc_id", pa.int64()),
+                             ("toks", pa.list_(pa.int64()))])
+
+    def _rename(ds, name):
+        return ds.map_batches(
+            lambda t, n=name: t.rename_columns(["doc_id", n]),
+            batch_format="pyarrow")
+
+    j1 = hash_join(cand_ds, _rename(toks, "toks_a"), on="doc_a",
+                   right_on="doc_id", num_buckets=num_buckets,
+                   left_schema=_PAIRS_SCHEMA,
+                   right_schema=pa.schema([("doc_id", pa.int64()),
+                                           ("toks_a", pa.list_(pa.int64()))]))
+    j2 = hash_join(j1, _rename(toks, "toks_b"), on="doc_b",
+                   right_on="doc_id", num_buckets=num_buckets,
+                   left_schema=pa.schema([("doc_a", pa.int64()),
+                                          ("doc_b", pa.int64()),
+                                          ("toks_a", pa.list_(pa.int64()))]),
+                   right_schema=pa.schema([("doc_id", pa.int64()),
+                                           ("toks_b", pa.list_(pa.int64()))]))
+
+    def keep(t: pa.Table) -> pa.Table:
+        ta_col = t["toks_a"].combine_chunks()
+        tb_col = t["toks_b"].combine_chunks()
+        keep_idx = [i for i in range(t.num_rows)
+                    if _jaccard_i64(
+                        np.asarray(ta_col[i].values, dtype=np.int64),
+                        np.asarray(tb_col[i].values, dtype=np.int64))
+                    >= threshold]
+        kept = t.take(pa.array(keep_idx, pa.int64()))
+        return pa.table({"doc_a": kept["doc_a"], "doc_b": kept["doc_b"]})
+
+    return j2.map_batches(keep, batch_format="pyarrow")
+
+
+def minhash_verified_pairs(docs_ds, threshold: float = 0.8,
+                           num_perm: int = 64, bands: int = 16,
+                           concurrency=None, dedup_pairs: bool = True,
+                           shingle_k: int = 3,
+                           max_driver_pairs: int = 4_000_000):
+    """LSH candidate pairs, exact-shingle-Jaccard-verified DISTRIBUTEDLY
+    → Dataset (doc_a, doc_b): a pair qualifies iff it collides in ≥1
+    LSH band AND its exact k-shingle-set Jaccard ≥ ``threshold`` — the
+    similarity the signature estimates is the one verified (and the one
+    the DuckDB oracle recomputes).
+
+    Adaptive two-path layout (VERDICT r1 item 2):
+
+    * candidate volume ≤ ``max_driver_pairs`` raw band collisions: the
+      pair list (ids ONLY — never text, never token sets) is pinned on
+      the driver — the same O(dup-involved docs) boundedness contract
+      as the returned group map — and verified in one pair-keyed
+      exchange (_verify_pairs_broadcast).
+    * above the bound (hot boilerplate clusters): fully-distributed
+      path — distinct pairs by bucketed aggregate, then two shuffle
+      joins attach shingle sets to pairs (_verify_pairs_join); nothing
+      pair-shaped ever reaches the driver.
+
+    Both paths emit each verified pair exactly once. ``dedup_pairs``
+    and ``concurrency`` are accepted for API stability (output is
+    always distinct; the map side runs as plain tasks)."""
+    import ray
+
+    cand = minhash_candidates(docs_ds, num_perm, bands,
+                              shingle_k=shingle_k,
+                              distinct=False).materialize()
+    n_raw = cand.count()
+    if n_raw == 0:
+        return ray.data.from_arrow(_PAIRS_SCHEMA.empty_table())
+    if n_raw <= max_driver_pairs:
+        raw = pa.concat_tables(
+            [ray.get(r) for r in cand.to_arrow_refs()],
+            promote_options="default")
+        ab = np.stack([raw["doc_a"].to_numpy(), raw["doc_b"].to_numpy()],
+                      axis=1)
+        keys = np.unique(ab, axis=0)
+        return _verify_pairs_broadcast(docs_ds, keys[:, 0], keys[:, 1],
+                                       threshold, shingle_k)
+    distinct = _distinct_pairs(cand)
+    return _verify_pairs_join(docs_ds, distinct, threshold, shingle_k)
+
+
+def _distinct_pairs(cand_ds, num_buckets: int = 32):
+    from ..ops.hashagg import hash_aggregate
+
+    return hash_aggregate(cand_ds, ["doc_a", "doc_b"],
+                          [("doc_a", "count", "_n")],
+                          num_buckets=num_buckets) \
         .select_columns(["doc_a", "doc_b"])
 
 
 def minhash_dedup_groups(docs_ds, threshold: float = 0.8, num_perm: int = 64,
-                         bands: int = 16, concurrency=(1, 4)) -> dict:
+                         bands: int = 16, concurrency=None,
+                         max_driver_pairs: int = 4_000_000) -> dict:
     """Full near-dup flow → {doc_id: group_rep_id} for verified dup sets.
 
-    Fully distributed (VERDICT r1 item 2): LSH candidate generation is
-    bucketed, exact-Jaccard verification runs as a shuffle join of
-    token-hash sets onto the pair list, and group assembly is
-    distributed min-label propagation (ops.components). Only the final
-    group map — bounded by the number of dup-involved docs, not corpus
-    size — reaches the driver."""
+    Distributed candidate generation + verification (see
+    minhash_verified_pairs), then connected components sized to the
+    verified edge count: ≤ ``max_driver_pairs`` edges → driver-side
+    union-find over the verified pairs (O(dup pairs) — the same order
+    as the returned map itself); above → distributed min-label
+    propagation (ops.components), with only the final dup-bounded group
+    map reaching the driver."""
+    import ray
+
+    pairs = minhash_verified_pairs(
+        docs_ds, threshold, num_perm, bands,
+        max_driver_pairs=max_driver_pairs).materialize()
+    if pairs.count() <= max_driver_pairs:
+        from ..state.unionfind import UnionFind
+
+        uf = UnionFind()
+        for t in pairs.iter_batches(batch_format="pyarrow",
+                                    batch_size=65536):
+            for a, b in zip(t["doc_a"].to_pylist(), t["doc_b"].to_pylist()):
+                uf.union(int(a), int(b))
+        return {int(k): int(v) for k, v in uf.mapping().items()}
+
     from ..ops.components import dup_group_map
 
-    pairs = minhash_verified_pairs(docs_ds, threshold, num_perm, bands,
-                                   concurrency, dedup_pairs=False)
     return dup_group_map(pairs)
 
 

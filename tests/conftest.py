@@ -15,6 +15,9 @@ def ray_session():
     import ray
     from ray.data import DataContext
 
+    import gfftoneo4j_ray
+
+    gfftoneo4j_ray.quiet_empty_schema_warnings()
     ray.init(address="local", num_cpus=4, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR")
     ctx = DataContext.get_current()

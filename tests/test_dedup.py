@@ -53,6 +53,23 @@ def test_minhash_neardup_groups(planted_docs):
     assert groups.get(5) is None or groups[5] != 0
 
 
+def test_minhash_scale_paths_agree(planted_docs):
+    """The driver-bounded broadcast-verify path and the fully
+    distributed shuffle-join-verify + label-propagation path must
+    produce identical pairs and groups (max_driver_pairs=0 forces the
+    at-scale branch everywhere)."""
+    small_g = dedup.minhash_dedup_groups(planted_docs, threshold=0.7)
+    big_g = dedup.minhash_dedup_groups(planted_docs, threshold=0.7,
+                                       max_driver_pairs=0)
+    assert small_g == big_g and small_g
+    ps = dedup.minhash_verified_pairs(planted_docs, 0.7) \
+        .to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    pb = dedup.minhash_verified_pairs(planted_docs, 0.7,
+                                      max_driver_pairs=0) \
+        .to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    assert ps.equals(pb) and len(ps) > 0
+
+
 def test_jaccard_and_signature_properties():
     assert dedup.jaccard("a b c", "a b c") == 1.0
     assert dedup.jaccard("a b", "c d") == 0.0
