@@ -24,7 +24,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import gfftoneo4j_ray
 from gfftoneo4j_ray.functions import textstats
+from gfftoneo4j_ray.ops import analytics as A
+from gfftoneo4j_ray.ops import graph_algos
 from gfftoneo4j_ray.ops import relational as R
+from gfftoneo4j_ray.ops import statsops as S
 from gfftoneo4j_ray.sources.pages import derive_pages
 from gfftoneo4j_ray.stages import (dedup, extract_text, multimodal,
                                    similarity, triples)
@@ -167,6 +170,43 @@ def q_kg_triples_pr(sf_dir: str, max_sample_pages: int = 20000):
     })
 
 
+def q_kg_components(sf_dir: str):
+    """Connected components of the constructed KG (distributed
+    min-label propagation over string node ids); component = MIN hex
+    node id, matching the recursive-CTE oracle over the golden edges."""
+    import ray
+
+    res = _ensure_kg_run(sf_dir)
+    edges = ray.data.read_parquet(res["edges_dir"], columns=["src", "dst"])
+    return graph_algos.components_hex(edges)
+
+
+def q_kg_pagerank(sf_dir: str):
+    """3-iteration PageRank (d=0.85, uniform init, no dangling-mass
+    redistribution) over the distinct-edge view of the constructed KG;
+    oracle = the identical fixed-point unrolled as chained SQL CTEs
+    over the golden edges."""
+    import math
+
+    import ray
+
+    res = _ensure_kg_run(sf_dir)
+    edges = ray.data.read_parquet(res["edges_dir"], columns=["src", "dst"])
+    pr = graph_algos.pagerank(edges, iters=3, damping=0.85)
+
+    def scale(t):
+        import numpy as np
+        import pyarrow as pa
+
+        v = t["pr"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "node_id": t["node"],
+            "pr_c": pa.array(np.floor(v * 1000000 + 0.5).astype(np.int64)),
+        })
+
+    return pr.map_batches(scale, batch_format="pyarrow")
+
+
 def q_mm_payload_features(sf_dir: str):
     feats = multimodal.apply(derive_pages(sf_dir))
     # project list column away for the value-hash check
@@ -279,6 +319,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_hopping_window": R.q_hopping_window,
         "q_asof_join": R.q_asof_join,
         "q_range_join": R.q_range_join,
+        # statistical / analytical operators (ops/statsops.py)
+        "q_pivot": S.q_pivot,
+        "q_grouping_sets": S.q_grouping_sets,
+        "q_count_distinct": S.q_count_distinct,
+        "q_quantile_hist": S.q_quantile_hist,
+        "q_arg_max": S.q_arg_max,
+        "q_numeric_stats": S.q_numeric_stats,
+        "q_sample_hash": S.q_sample_hash,
+        "q_part_brand_stats": S.q_part_brand_stats,
+        "q_supplier_nation": S.q_supplier_nation,
+        # corpus analytics (ops/analytics.py)
+        "q_heavy_hitters": A.q_heavy_hitters,
+        "q_tfidf": A.q_tfidf,
+        "q_redact": A.q_redact,
+        "q_quality_filter": A.q_quality_filter,
+        # graph analytics over the constructed KG (ops/graph_algos.py)
+        "q_kg_components": q_kg_components,
+        "q_kg_pagerank": q_kg_pagerank,
         # text analysis / dedup / similarity (training-data ops)
         "q_text_stats": q_text_stats,
         "q_dedup_exact": q_dedup_exact,
@@ -496,6 +554,218 @@ def oracle_sql() -> dict[str, str]:
             FROM buys b
             ASOF JOIN subs s
               ON b.user_id = s.user_id AND b.tus >= s.tus
+        """,
+        "q_pivot": r"""
+            SELECT epoch_us(ts) // 86400000000 AS day_id,
+                   CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_click,
+                   CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_error,
+                   CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_purchase,
+                   CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_signup,
+                   CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_view,
+                   COUNT(*) AS n_total
+            FROM events GROUP BY day_id
+        """,
+        "q_grouping_sets": r"""
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS sum_qty_c,
+                   COUNT(*) AS n_rows
+            FROM lineitem
+            GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                    (l_returnflag), ())
+        """,
+        "q_count_distinct": r"""
+            SELECT l_returnflag,
+                   COUNT(DISTINCT l_partkey) AS n_distinct_parts
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "q_quantile_hist": r"""
+            SELECT l_returnflag,
+                   CAST(FLOOR(quantile_disc(l_quantity, 0.5) * 100 + 0.5)
+                        AS BIGINT) AS p50_qty_c,
+                   CAST(FLOOR(quantile_disc(l_quantity, 0.9) * 100 + 0.5)
+                        AS BIGINT) AS p90_qty_c
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "q_arg_max": r"""
+            WITH vc AS (
+                SELECT event_type,
+                       CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vc,
+                       event_id
+                FROM events
+            ),
+            m AS (SELECT event_type, MAX(vc) AS max_value_c
+                  FROM vc GROUP BY event_type)
+            SELECT m.event_type, m.max_value_c,
+                   MIN(vc.event_id) AS argmax_event_id
+            FROM vc JOIN m ON vc.event_type = m.event_type
+                          AND vc.vc = m.max_value_c
+            GROUP BY m.event_type, m.max_value_c
+        """,
+        "q_numeric_stats": r"""
+            WITH vc AS (
+                SELECT event_type,
+                       CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v
+                FROM events
+            ),
+            a AS (SELECT event_type, COUNT(*) AS n, SUM(v) AS s1,
+                         SUM(v * v) AS s2
+                  FROM vc GROUP BY event_type)
+            SELECT event_type, CAST(n AS BIGINT) AS n,
+                   CAST(s1 AS BIGINT) AS sum_c,
+                   CAST(FLOOR(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) + 0.5)
+                        AS BIGINT) AS mean_c,
+                   CAST(FLOOR((CAST(s2 AS DOUBLE)
+                               - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                                 / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)
+                              + 0.5) AS BIGINT) AS var_cc
+            FROM a
+        """,
+        "q_sample_hash": r"""
+            SELECT event_id, event_type,
+                   CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS value_c
+            FROM events
+            WHERE (event_id * 2654435761) % 4294967296 < 429496729
+        """,
+        "q_part_brand_stats": r"""
+            WITH d AS (
+                SELECT p_brand,
+                       CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT) AS pc,
+                       CAST(p_size AS BIGINT) AS sz
+                FROM part
+            )
+            SELECT p_brand, COUNT(*) AS n_parts,
+                   CAST(SUM(pc) AS BIGINT) AS sum_price_c,
+                   CAST(FLOOR(CAST(SUM(pc) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                              + 0.5) AS BIGINT) AS avg_price_c,
+                   MIN(sz) AS min_size, MAX(sz) AS max_size
+            FROM d GROUP BY p_brand
+        """,
+        "q_supplier_nation": r"""
+            SELECT n_name,
+                   CAST(SUM(CAST(FLOOR(s_acctbal * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS sum_bal_c,
+                   COUNT(*) AS n_suppliers
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "q_heavy_hitters": r"""
+            SELECT w AS word, COUNT(*) AS n
+            FROM (SELECT unnest(regexp_extract_all(lower(text),
+                                '[a-z0-9_''-]+')) AS w
+                  FROM documents)
+            GROUP BY w
+            ORDER BY n DESC, w
+            LIMIT 30
+        """,
+        "q_tfidf": r"""
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text),
+                              '[a-z0-9_''-]+')) AS w
+                FROM documents
+            ),
+            tf AS (SELECT doc_id, w, COUNT(*) AS tf
+                   FROM tok WHERE doc_id < 200 GROUP BY doc_id, w),
+            df AS (SELECT w, COUNT(DISTINCT doc_id) AS df
+                   FROM tok GROUP BY w),
+            n AS (SELECT COUNT(*) AS nn FROM documents),
+            s AS (
+                SELECT doc_id, w AS word,
+                       CAST(FLOOR(tf * ln(CAST(nn AS DOUBLE) / CAST(df AS DOUBLE))
+                                  * 10000 + 0.5) AS BIGINT) AS score_c,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY doc_id
+                           ORDER BY tf * ln(CAST(nn AS DOUBLE)
+                                            / CAST(df AS DOUBLE)) DESC, w
+                       ) AS rnk
+                FROM tf JOIN df USING (w) CROSS JOIN n
+            )
+            SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, word, score_c
+            FROM s WHERE rnk <= 3
+        """,
+        "q_redact": r"""
+            SELECT event_id,
+                   regexp_replace(props, '\d+', '<NUM>', 'g') AS clean
+            FROM events
+        """,
+        "q_quality_filter": r"""
+            SELECT * FROM (
+                SELECT doc_id, n_tokens,
+                       CAST(FLOOR(CAST(nonspace AS DOUBLE)
+                                  / GREATEST(n_tokens, 1) * 100 + 0.5)
+                            AS BIGINT) AS mean_tok_c,
+                       CAST(FLOOR(CAST(alpha AS DOUBLE)
+                                  / GREATEST(n_chars, 1) * 10000 + 0.5)
+                            AS BIGINT) AS alpha_c
+                FROM (
+                    SELECT doc_id,
+                           CAST(length(text) AS BIGINT) AS n_chars,
+                           CAST(len(regexp_extract_all(text, '\S+'))
+                                AS BIGINT) AS n_tokens,
+                           CAST(length(regexp_replace(text, '\s', '', 'g'))
+                                AS BIGINT) AS nonspace,
+                           CAST(length(regexp_replace(text, '[^a-z]', '', 'g'))
+                                AS BIGINT) AS alpha
+                    FROM documents
+                )
+            )
+            WHERE n_tokens >= 20 AND mean_tok_c BETWEEN 250 AND 800
+              AND alpha_c >= 5500
+        """,
+        "q_kg_components": r"""
+            WITH RECURSIVE e AS (
+                SELECT DISTINCT src, dst
+                FROM read_parquet('/root/repo/gfftoneo4j_ray/goldens/sf0_01_kg_edges.parquet')
+            ),
+            edges AS (SELECT src AS a, dst AS b FROM e
+                      UNION ALL SELECT dst AS a, src AS b FROM e),
+            reach(node, lab) AS (
+                SELECT DISTINCT a, a FROM edges
+                UNION
+                SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node
+            )
+            SELECT node AS node_id, MIN(lab) AS component
+            FROM reach GROUP BY node
+        """,
+        "q_kg_pagerank": r"""
+            WITH e AS (
+                SELECT DISTINCT src, dst
+                FROM read_parquet('/root/repo/gfftoneo4j_ray/goldens/sf0_01_kg_edges.parquet')
+            ),
+            nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+            n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS cnt FROM nodes),
+            od AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+            p0 AS (SELECT node, 1.0 / cnt AS pr FROM nodes CROSS JOIN n),
+            c1 AS (SELECT e.dst AS node, SUM(p.pr / od.outdeg) AS s
+                   FROM e JOIN od USING (src) JOIN p0 p ON p.node = e.src
+                   GROUP BY e.dst),
+            p1 AS (SELECT nodes.node,
+                          (1.0 - 0.85) / cnt + 0.85 * COALESCE(c1.s, 0) AS pr
+                   FROM nodes CROSS JOIN n
+                   LEFT JOIN c1 ON c1.node = nodes.node),
+            c2 AS (SELECT e.dst AS node, SUM(p.pr / od.outdeg) AS s
+                   FROM e JOIN od USING (src) JOIN p1 p ON p.node = e.src
+                   GROUP BY e.dst),
+            p2 AS (SELECT nodes.node,
+                          (1.0 - 0.85) / cnt + 0.85 * COALESCE(c2.s, 0) AS pr
+                   FROM nodes CROSS JOIN n
+                   LEFT JOIN c2 ON c2.node = nodes.node),
+            c3 AS (SELECT e.dst AS node, SUM(p.pr / od.outdeg) AS s
+                   FROM e JOIN od USING (src) JOIN p2 p ON p.node = e.src
+                   GROUP BY e.dst),
+            p3 AS (SELECT nodes.node,
+                          (1.0 - 0.85) / cnt + 0.85 * COALESCE(c3.s, 0) AS pr
+                   FROM nodes CROSS JOIN n
+                   LEFT JOIN c3 ON c3.node = nodes.node)
+            SELECT node AS node_id,
+                   CAST(FLOOR(pr * 1000000 + 0.5) AS BIGINT) AS pr_c
+            FROM p3
         """,
         "q_text_stats": r"""
             SELECT doc_id,

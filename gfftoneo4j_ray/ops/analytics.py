@@ -1,0 +1,222 @@
+"""Corpus-level text analytics — the operators a training-data curation
+pipeline runs over a web-text documents table, each as a Ray Data
+pipeline with an exact DuckDB oracle (__ray_entry__.oracle_sql).
+
+Tokenization contract (shared with the dedup family and the oracle
+SQL): tokens = regexp_extract_all(lower(text), "[a-z0-9_'-]+"); the
+engine realizes it as a vectorized RE2 split on the complement class
+"[^a-z0-9_'-]+" + empty-string filter (verified equivalent; both
+engines run RE2, so class semantics match exactly).
+
+Scale notes per function; shared rules: tokenize once per batch with
+Arrow C kernels (never a Python loop over rows), pre-aggregate
+map-side so shuffles carry per-batch partials, bound every
+corpus-sized sort with a local top-k first.
+
+Reference anchors (semantics, not code): the per-record parse / filter
+/ rollup operator classes of SURVEY.md §2.2/§2.4 (GffParser.scala /
+GeneReader.scala) re-targeted at the documents table.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .hashagg import append_bucket, hash_aggregate
+
+TOKEN_SPLIT = r"[^a-z0-9_'-]+"
+
+
+def _docs(sf_dir: str, columns=("doc_id", "text")):
+    import ray
+
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=list(columns))
+
+
+def _tokens_flat(text_col: pa.ChunkedArray | pa.Array):
+    """(flat token array, parent row indices) — one RE2 pass, zero
+    Python per-row work. Empty strings (leading/trailing separators)
+    are dropped to match regexp_extract_all semantics."""
+    toks = pc.split_pattern_regex(pc.utf8_lower(text_col), TOKEN_SPLIT)
+    flat = pc.list_flatten(toks)
+    parent = pc.list_parent_indices(toks)
+    keep = pc.not_equal(flat, "")
+    return flat.filter(keep), parent.filter(keep)
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters (corpus-wide top-k words)
+# ---------------------------------------------------------------------------
+
+def q_heavy_hitters(sf_dir: str, k: int = 30):
+    """Top-k most frequent words across the corpus (tie-break word asc).
+
+    Map side emits per-batch (word, count) partials — shuffle volume is
+    bounded by (batch vocabulary × batches), never token count. The
+    global sort is bounded by a per-block top-k (k rows per reduce
+    block reach the final sort), so a web-scale vocabulary never feeds
+    an unbounded corpus-wide sort."""
+    ds = _docs(sf_dir, columns=("text",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat, _ = _tokens_flat(t["text"])
+        g = pa.table({"word": flat}).group_by(["word"]) \
+            .aggregate([("word", "count")])
+        return g.rename_columns(["word", "n_part"])
+
+    counts = hash_aggregate(ds.map_batches(partial, batch_format="pyarrow"),
+                            "word", [("n_part", "sum", "n")], num_buckets=32)
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        return t.sort_by([("n", "descending"), ("word", "ascending")]) \
+            .slice(0, k)
+
+    return counts.map_batches(local_topk, batch_format="pyarrow") \
+        .sort(["n", "word"], descending=[True, False]).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF (top terms per document)
+# ---------------------------------------------------------------------------
+
+def q_tfidf(sf_dir: str, max_doc_id: int = 200, topk: int = 3):
+    """Top-k terms per document by tf·idf, idf = ln(N/df) with df from
+    the FULL corpus; per-doc output bounded to doc_id < max_doc_id.
+
+    All fact-scale: tf and df are two-phase hash aggregates over the
+    exploded token stream, tf⋈df is the distributed bucketed shuffle
+    join (ops.join — no vocabulary broadcast: web-scale vocabularies
+    don't fit a driver), and the per-doc top-k runs as vectorized
+    run-boundary ranking over hash buckets."""
+    from .join import hash_join
+
+    ds = _docs(sf_dir)
+
+    def explode(t: pa.Table) -> pa.Table:
+        flat, parent = _tokens_flat(t["text"])
+        return pa.table({"doc_id": t["doc_id"].take(parent), "w": flat})
+
+    def tf_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t["doc_id"], max_doc_id))
+        flat, parent = _tokens_flat(t["text"])
+        g = pa.table({"doc_id": t["doc_id"].take(parent), "w": flat}) \
+            .group_by(["doc_id", "w"]).aggregate([("w", "count")])
+        return g.rename_columns(["doc_id", "w", "tf_part"])
+
+    # docs never span batches, so per-batch distinct (doc, w) pairs are
+    # globally distinct-per-doc — df partials are exact map-side
+    def df_partial(t: pa.Table) -> pa.Table:
+        flat, parent = _tokens_flat(t["text"])
+        pairs = pa.table({"doc_id": t["doc_id"].take(parent), "w": flat}) \
+            .group_by(["doc_id", "w"]).aggregate([])
+        g = pairs.group_by(["w"]).aggregate([("doc_id", "count")])
+        return g.rename_columns(["w", "df_part"])
+
+    n_docs = ds.count()
+    tf = hash_aggregate(ds.map_batches(tf_partial, batch_format="pyarrow"),
+                        ["doc_id", "w"], [("tf_part", "sum", "tf")],
+                        num_buckets=16)
+    df = hash_aggregate(ds.map_batches(df_partial, batch_format="pyarrow"),
+                        "w", [("df_part", "sum", "df")], num_buckets=16)
+    joined = hash_join(
+        tf, df, on="w", num_buckets=16,
+        left_schema=pa.schema([("doc_id", pa.int64()), ("w", pa.string()),
+                               ("tf", pa.int64())]),
+        right_schema=pa.schema([("w", pa.string()), ("df", pa.int64())]))
+
+    def score(t: pa.Table) -> pa.Table:
+        tf_v = t["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        df_v = t["df"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s = tf_v * np.log(np.float64(n_docs) / df_v)
+        out = pa.table({"doc_id": t["doc_id"], "word": t["w"],
+                        "score": pa.array(s, pa.float64())})
+        return append_bucket(out, ["doc_id"], 16)
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("doc_id", "ascending"), ("score", "descending"),
+                       ("word", "ascending")])
+        keys = g["doc_id"].to_numpy(zero_copy_only=False)
+        if len(keys) == 0:
+            return pa.schema([("doc_id", pa.int64()), ("rnk", pa.int64()),
+                              ("word", pa.string()),
+                              ("score_c", pa.int64())]).empty_table()
+        starts = np.r_[0, np.flatnonzero(keys[1:] != keys[:-1]) + 1]
+        rank = np.arange(len(keys)) - np.repeat(
+            starts, np.diff(np.r_[starts, len(keys)]))
+        kept = g.filter(pa.array(rank < topk))
+        sc = kept["score"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": kept["doc_id"],
+            "rnk": pa.array(rank[rank < topk] + 1, pa.int64()),
+            "word": kept["word"],
+            "score_c": pa.array(np.floor(sc * 10000 + 0.5).astype(np.int64)),
+        })
+
+    return joined.map_batches(score, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(
+            lambda g: per_bucket(g.drop_columns(["bucket"])),
+            batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Regex scrub / redaction (PII-shaped cleanup)
+# ---------------------------------------------------------------------------
+
+def q_redact(sf_dir: str):
+    """Scrub digit runs from the events kv-string column (the
+    PII-redaction shape: one compiled RE2 replace per batch). Both
+    engines run RE2, so replacement semantics match byte-for-byte."""
+    import ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "props"])
+
+    def scrub(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t["event_id"],
+            "clean": pc.replace_substring_regex(t["props"], r"\d+", "<NUM>"),
+        })
+
+    return ds.map_batches(scrub, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Quality filter (Gopher-style threshold rules)
+# ---------------------------------------------------------------------------
+
+def q_quality_filter(sf_dir: str):
+    """Keep documents passing integer-exact quality gates: token count,
+    mean token length (scaled cents), alphabetic ratio (scaled 1e4).
+    All three stats come from count_substring_regex C kernels; the
+    thresholds compare scaled integers so the engine and the oracle
+    can never disagree on a boundary float."""
+    ds = _docs(sf_dir)
+
+    def fn(t: pa.Table) -> pa.Table:
+        text = t["text"]
+        n_chars = pc.cast(pc.utf8_length(text), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        n_tok = pc.cast(pc.count_substring_regex(text, r"\S+"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        nonspace = pc.cast(pc.count_substring_regex(text, r"\S"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        alpha = pc.cast(pc.count_substring_regex(text, "[a-z]"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        safe_tok = np.maximum(n_tok, 1)
+        mean_tok_c = np.floor(
+            nonspace.astype(np.float64) / safe_tok * 100 + 0.5).astype(np.int64)
+        alpha_c = np.floor(alpha.astype(np.float64)
+                           / np.maximum(n_chars, 1) * 10000 + 0.5).astype(np.int64)
+        keep = (n_tok >= 20) & (mean_tok_c >= 250) & (mean_tok_c <= 800) \
+            & (alpha_c >= 5500)
+        return pa.table({
+            "doc_id": t["doc_id"].filter(pa.array(keep)),
+            "n_tokens": pa.array(n_tok[keep], pa.int64()),
+            "mean_tok_c": pa.array(mean_tok_c[keep], pa.int64()),
+            "alpha_c": pa.array(alpha_c[keep], pa.int64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -103,6 +103,9 @@ def hash_aggregate(ds, keys: str | list[str],
         g = t.group_by(keys).aggregate([(col, op) for col, op, *_ in plan])
         g = _checked_rename(g, [f"{col}_{op}" for col, op, *_ in plan],
                             [p[2] for p in plan])
+        # strip parquet pandas-metadata: blocks with dict metadata break
+        # Ray's schema-dedup hashing in the exchange (log noise per task)
+        g = g.replace_schema_metadata(None)
         return g.append_column("bucket", _bucket_column(g, keys, num_buckets))
 
     def final(g: pa.Table) -> pa.Table:

@@ -1,0 +1,169 @@
+"""New analytics / stats / graph operators vs their DuckDB oracles at
+sf0.001, plus unit tests for the graph-algorithm kernels."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+TABLES = ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split()
+
+
+@pytest.fixture(scope="module")
+def entrymod(ray_session):
+    import __ray_entry__ as E
+
+    return E
+
+
+@pytest.fixture(scope="module")
+def oracle_con():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF}/{t}.parquet')")
+    return con
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+NEW_ORACLE_QUERIES = [
+    "q_pivot", "q_grouping_sets", "q_count_distinct", "q_quantile_hist",
+    "q_arg_max", "q_numeric_stats", "q_sample_hash", "q_part_brand_stats",
+    "q_supplier_nation", "q_heavy_hitters", "q_tfidf", "q_redact",
+    "q_quality_filter",
+]
+
+
+@pytest.mark.parametrize("name", NEW_ORACLE_QUERIES)
+def test_new_query_matches_oracle(entrymod, oracle_con, name):
+    res = entrymod.queries()[name](SF)
+    got = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+    if isinstance(got, pa.Table):
+        got = got.to_pandas()
+    want = oracle_con.execute(entrymod.oracle_sql()[name]).fetchdf()
+    pd.testing.assert_frame_equal(_norm(got), _norm(want))
+
+
+def test_quality_filter_is_selective(entrymod, ray_session):
+    """The gates must actually drop rows (else the thresholds are
+    vacuous) without emptying the corpus."""
+    n_kept = entrymod.queries()["q_quality_filter"](SF).count()
+    import ray
+
+    n_all = ray.data.read_parquet(f"{SF}/documents.parquet").count()
+    assert 0 < n_kept < n_all
+
+
+def test_sample_hash_rate(entrymod, ray_session):
+    """Deterministic sample lands near the nominal 10% rate."""
+    n = entrymod.queries()["q_sample_hash"](SF).count()
+    import ray
+
+    total = ray.data.read_parquet(f"{SF}/events.parquet").count()
+    assert 0.05 * total < n < 0.15 * total
+
+
+# ---------------------------------------------------------------------------
+# graph kernels
+# ---------------------------------------------------------------------------
+
+def test_hex_prefix_int64_order_and_value():
+    from gfftoneo4j_ray.ops.graph_algos import hex_prefix_int64
+
+    rng = np.random.default_rng(7)
+    ids = ["".join(np.char.mod("%x", rng.integers(0, 16, 40)))
+           for _ in range(200)]
+    out = hex_prefix_int64(pa.array(ids)).to_pylist()
+    assert out == [int(s[:16], 16) - (1 << 63) for s in ids]
+    # order-preserving: sorting by the int64 sorts hex ids
+    assert [i for _, i in sorted(zip(out, ids))] == sorted(ids)
+    # large_string and sliced inputs
+    assert hex_prefix_int64(
+        pa.array(ids, pa.large_string())).to_pylist() == out
+    assert hex_prefix_int64(
+        pa.array(["f" * 40] + ids).slice(1)).to_pylist() == out
+
+
+def _hexid(i: int) -> str:
+    """Realistic (hash-distributed) 40-hex node id, like the KG's
+    content-hash ids — components_hex documents that structured ids
+    sharing a 64-bit prefix are rejected, not silently merged."""
+    import hashlib
+
+    return hashlib.sha1(f"node-{i}".encode()).hexdigest()
+
+
+def test_components_hex_two_clusters(ray_session):
+    import ray
+
+    from gfftoneo4j_ray.ops.graph_algos import components_hex
+
+    # cluster A: 0-1-2 chained; cluster B: 5-6; isolated pair 8->9
+    edges = pa.table({
+        "src": [_hexid(1), _hexid(2), _hexid(5), _hexid(8)],
+        "dst": [_hexid(0), _hexid(1), _hexid(6), _hexid(9)],
+    })
+    out = components_hex(ray.data.from_arrow(edges)).to_pandas()
+    comp = dict(zip(out["node_id"], out["component"]))
+    assert len(out) == 7
+    for cluster in [(0, 1, 2), (5, 6), (8, 9)]:
+        rep = min(_hexid(i) for i in cluster)
+        for i in cluster:
+            assert comp[_hexid(i)] == rep
+
+
+def test_components_hex_rejects_prefix_collisions(ray_session):
+    import ray
+
+    from gfftoneo4j_ray.ops.graph_algos import components_hex
+
+    # two DISTINCT ids sharing the first 16 hex chars (all zeros)
+    a, b = f"{1:040x}", f"{2:040x}"
+    with pytest.raises(ValueError, match="prefix"):
+        components_hex(ray.data.from_arrow(
+            pa.table({"src": [a], "dst": [b]}))).to_pandas()
+
+
+def test_pagerank_matches_dense_reference(ray_session):
+    """Distributed PageRank equals a dense numpy fixed-iteration
+    reference on a small random digraph."""
+    import ray
+
+    from gfftoneo4j_ray.ops.graph_algos import pagerank
+
+    rng = np.random.default_rng(3)
+    n = 12
+    pairs = {(int(a), int(b)) for a, b in rng.integers(0, n, (40, 2))
+             if a != b}
+    src = [_hexid(a) for a, _ in sorted(pairs)]
+    dst = [_hexid(b) for _, b in sorted(pairs)]
+    got = pagerank(ray.data.from_arrow(pa.table({"src": src, "dst": dst})),
+                   iters=3, damping=0.85).to_pandas()
+
+    nodes = sorted({x for p in pairs for x in p})
+    idx = {v: i for i, v in enumerate(nodes)}
+    nn = len(nodes)
+    outdeg = np.zeros(nn)
+    for a, _ in pairs:
+        outdeg[idx[a]] += 1
+    pr = np.full(nn, 1.0 / nn)
+    for _ in range(3):
+        nxt = np.full(nn, (1.0 - 0.85) / nn)
+        for a, b in pairs:
+            nxt[idx[b]] += 0.85 * pr[idx[a]] / outdeg[idx[a]]
+        pr = nxt
+    want = {_hexid(v): pr[idx[v]] for v in nodes}
+    assert len(got) == nn
+    for node, val in zip(got["node"], got["pr"]):
+        assert abs(val - want[node]) < 1e-12
