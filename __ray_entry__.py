@@ -28,6 +28,7 @@ from gfftoneo4j_ray.ops import analytics as A
 from gfftoneo4j_ray.ops import graph_algos
 from gfftoneo4j_ray.ops import relational as R
 from gfftoneo4j_ray.ops import statsops as S
+from gfftoneo4j_ray.ops import windowed as W
 from gfftoneo4j_ray.sources.pages import derive_pages
 from gfftoneo4j_ray.stages import (dedup, extract_text, multimodal,
                                    similarity, triples)
@@ -329,6 +330,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_sample_hash": S.q_sample_hash,
         "q_part_brand_stats": S.q_part_brand_stats,
         "q_supplier_nation": S.q_supplier_nation,
+        # rolling windows + sketches (ops/windowed.py)
+        "q_rolling_avg": W.q_rolling_avg,
+        "q_hll_users": W.q_hll_users,      # rows-only (sketch, no SQL oracle)
         # corpus analytics (ops/analytics.py)
         "q_heavy_hitters": A.q_heavy_hitters,
         "q_tfidf": A.q_tfidf,
@@ -653,6 +657,20 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_suppliers
             FROM supplier JOIN nation ON s_nationkey = n_nationkey
             GROUP BY n_name
+        """,
+        "q_rolling_avg": r"""
+            WITH vc AS (
+                SELECT user_id, event_id, epoch_us(ts) AS tus,
+                       CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v
+                FROM events
+            )
+            SELECT event_id,
+                   CAST(FLOOR(CAST(SUM(v) OVER w AS DOUBLE)
+                              / (COUNT(v) OVER w) + 0.5) AS BIGINT)
+                       AS roll_avg_c
+            FROM vc
+            WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id
+                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
         """,
         "q_heavy_hitters": r"""
             SELECT w AS word, COUNT(*) AS n

@@ -1,0 +1,173 @@
+"""Rolling-window aggregates and sketch-based distinct counting.
+
+``q_rolling_avg`` — per-key rolling mean over (current + 2 preceding)
+rows, the SQL ``ROWS BETWEEN 2 PRECEDING AND CURRENT ROW`` frame,
+computed as one vectorized prefix-sum pass per hash bucket (no
+per-group Python dispatch; same layout as q_topk_per_group).
+Integer-exact: values are scaled to int64 per row, window sums are
+exact integers, and the single final division mirrors the oracle SQL
+expression shape.
+
+``hll_distinct`` — HyperLogLog distinct-count sketch as a Ray Data
+aggregation: per-batch (group, register, max_rho) partials →
+ops.hashagg max-merge → per-group estimate. The exchange carries at
+most |groups|×|registers| rows per batch — constant in row count —
+which is the whole point of a sketch at 10¹²-row scale. Deterministic
+(fixed hash), tested against exact distinct counts (≤ ~3% typical
+error at 2¹² registers); exposed as a rows-only query entry because
+no SQL oracle can reproduce the sketch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .hashagg import append_bucket, hash_aggregate
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray
+
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# Rolling window aggregate
+# ---------------------------------------------------------------------------
+
+def q_rolling_avg(sf_dir: str, window: int = 3):
+    """Per-user rolling mean of the scaled value over the last
+    ``window`` events (ordered by ts, event_id): one bucketed exchange,
+    then a prefix-sum kernel over each bucket's (user, ts)-sorted rows
+    — run boundaries cap the window at each user's start."""
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "event_id", "ts", "value"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        out = pa.table({
+            "user_id": t["user_id"],
+            "event_id": t["event_id"],
+            "tus": pc.cast(t["ts"], pa.int64()),
+            "v": pa.array(np.floor(v * 100 + 0.5).astype(np.int64)),
+        })
+        return append_bucket(out, ["user_id"], 32)
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("user_id", "ascending"), ("tus", "ascending"),
+                       ("event_id", "ascending")])
+        keys = g["user_id"].to_numpy(zero_copy_only=False)
+        if len(keys) == 0:
+            return pa.schema([("event_id", pa.int64()),
+                              ("roll_avg_c", pa.int64())]).empty_table()
+        v = g["v"].to_numpy(zero_copy_only=False)
+        n = len(keys)
+        idx = np.arange(n)
+        starts = np.r_[0, np.flatnonzero(keys[1:] != keys[:-1]) + 1]
+        run_start = np.repeat(starts, np.diff(np.r_[starts, n]))
+        cs0 = np.r_[0, np.cumsum(v)]
+        lo = np.maximum(idx - (window - 1), run_start)
+        rs = cs0[idx + 1] - cs0[lo]
+        cnt = idx + 1 - lo
+        avg = np.floor(rs.astype(np.float64) / cnt + 0.5).astype(np.int64)
+        return pa.table({
+            "event_id": g["event_id"],
+            "roll_avg_c": pa.array(avg, pa.int64()),
+        })
+
+    return ds.map_batches(derive, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(
+            lambda g: per_bucket(g.drop_columns(["bucket"])),
+            batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-count sketch
+# ---------------------------------------------------------------------------
+
+HLL_P = 12                       # 2^12 registers
+HLL_M = 1 << HLL_P
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
+
+
+def _hll_partial(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(register index, rho) per value — vectorized 64-bit mix hash."""
+    h = keys.astype(np.uint64, copy=True)
+    # splitmix64 finalizer: well-mixed 64 bits from integer keys
+    h = (h + np.uint64(0x9E3779B97F4A7C15))
+    h ^= h >> np.uint64(30)
+    h *= np.uint64(0xBF58476D1CE4E5B9)
+    h ^= h >> np.uint64(27)
+    h *= np.uint64(0x94D049BB133111EB)
+    h ^= h >> np.uint64(31)
+    reg = (h >> np.uint64(64 - HLL_P)).astype(np.int64)
+    rest = (h << np.uint64(HLL_P)) | np.uint64((1 << HLL_P) - 1)
+    # rho = 1 + count of leading zeros in the remaining 64-P bits
+    lz = np.zeros(len(h), dtype=np.int64)
+    cur = rest.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        mask = cur < (np.uint64(1) << np.uint64(64 - shift))
+        lz[mask] += shift
+        cur[mask] = cur[mask] << np.uint64(shift)
+    return reg, lz + 1
+
+
+def hll_distinct(ds, key: str, group: str, out_name: str = "n_approx"):
+    """Approximate COUNT(DISTINCT key) per group via HyperLogLog.
+
+    Map side: per-batch (group, register, max rho) — ≤ |groups|·4096
+    rows per batch regardless of batch row count. Merge: hashagg max.
+    Final: per-group harmonic estimate with the standard small-range
+    correction, computed in a vectorized per-bucket kernel."""
+    def partial(t: pa.Table) -> pa.Table:
+        k = t[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        reg, rho = _hll_partial(k)
+        tt = pa.table({group: t[group],
+                       "reg": pa.array(reg, pa.int64()),
+                       "rho": pa.array(rho, pa.int64())})
+        g = tt.group_by([group, "reg"]).aggregate([("rho", "max")])
+        return g.rename_columns([group, "reg", "rho"])
+
+    merged = hash_aggregate(ds.map_batches(partial, batch_format="pyarrow"),
+                            [group, "reg"], [("rho", "max", "rho")],
+                            num_buckets=16)
+
+    def add_b(t: pa.Table) -> pa.Table:
+        return append_bucket(t, [group], 8)
+
+    def estimate(g: pa.Table) -> pa.Table:
+        g = g.sort_by([(group, "ascending"), ("reg", "ascending")])
+        keys = g[group].to_numpy(zero_copy_only=False)
+        if len(keys) == 0:
+            return pa.table({group: pa.array([], pa.string()),
+                             out_name: pa.array([], pa.int64())})
+        rho = g["rho"].to_numpy(zero_copy_only=False)
+        starts = np.r_[0, np.flatnonzero(keys[1:] != keys[:-1]) + 1]
+        ends = np.r_[starts[1:], len(keys)]
+        out_g, out_n = [], []
+        for s, e in zip(starts, ends):      # ≤ groups-per-bucket iters
+            nz = e - s                       # registers with a value
+            z = HLL_M - nz                   # empty registers
+            denom = np.sum(np.power(2.0, -rho[s:e])) + z
+            est = _HLL_ALPHA * HLL_M * HLL_M / denom
+            if est <= 2.5 * HLL_M and z > 0:
+                est = HLL_M * np.log(HLL_M / z)   # linear counting
+            out_g.append(keys[s])
+            out_n.append(int(round(est)))
+        return pa.table({group: pa.array(out_g),
+                         out_name: pa.array(out_n, pa.int64())})
+
+    return merged.map_batches(add_b, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(
+            lambda g: estimate(g.drop_columns(["bucket"])),
+            batch_format="pyarrow")
+
+
+def q_hll_users(sf_dir: str):
+    """Approximate distinct users per event_type (rows-only entry —
+    the sketch has no SQL oracle; accuracy is asserted against exact
+    counts in tests)."""
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    return hll_distinct(ds, key="user_id", group="event_type")

@@ -41,7 +41,7 @@ NEW_ORACLE_QUERIES = [
     "q_pivot", "q_grouping_sets", "q_count_distinct", "q_quantile_hist",
     "q_arg_max", "q_numeric_stats", "q_sample_hash", "q_part_brand_stats",
     "q_supplier_nation", "q_heavy_hitters", "q_tfidf", "q_redact",
-    "q_quality_filter",
+    "q_quality_filter", "q_rolling_avg",
 ]
 
 
@@ -72,6 +72,34 @@ def test_sample_hash_rate(entrymod, ray_session):
 
     total = ray.data.read_parquet(f"{SF}/events.parquet").count()
     assert 0.05 * total < n < 0.15 * total
+
+
+def test_hll_users_accuracy(entrymod, oracle_con, ray_session):
+    """The HLL sketch (rows-only entry, no SQL oracle possible) must
+    land within 5% of the exact distinct count for every group."""
+    got = entrymod.queries()["q_hll_users"](SF).to_pandas()
+    exact = dict(oracle_con.execute(
+        "SELECT event_type, COUNT(DISTINCT user_id) FROM events "
+        "GROUP BY event_type").fetchall())
+    assert set(got["event_type"]) == set(exact)
+    for et, n in zip(got["event_type"], got["n_approx"]):
+        assert abs(n - exact[et]) / exact[et] < 0.05, (et, n, exact[et])
+
+
+def test_hll_merge_invariance(ray_session):
+    """Sketch estimates must not depend on how rows are batched —
+    register merges are max-associative."""
+    import ray
+
+    from gfftoneo4j_ray.ops.windowed import hll_distinct
+
+    t = pa.table({"g": ["a"] * 9000 + ["b"] * 1000,
+                  "k": list(range(9000)) + list(range(500)) * 2})
+    one = hll_distinct(ray.data.from_arrow(t), "k", "g").to_pandas()
+    many = hll_distinct(
+        ray.data.from_arrow(t).repartition(13), "k", "g").to_pandas()
+    assert dict(zip(one["g"], one["n_approx"])) \
+        == dict(zip(many["g"], many["n_approx"]))
 
 
 # ---------------------------------------------------------------------------
