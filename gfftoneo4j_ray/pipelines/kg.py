@@ -50,8 +50,12 @@ class KgConfig:
     # (None = Ray's row-group-based default)
     override_num_blocks: int | None = None
     # range buckets (= part files = reduce parallelism) of the final
-    # node/edge sinks; power of two ≤ 256
-    sink_buckets: int = 128
+    # node/edge sinks; power of two ≤ 256. None = sized to the cluster
+    # (2×CPU, clamped) together with a pre-exchange coalesce — the
+    # exchange's O(blocks × buckets) object count, not row volume,
+    # dominates sink wall time when the product explodes (see
+    # graph.sink_geometry)
+    sink_buckets: int | None = None
 
 
 def _read_pages(pages_path: str, cfg: KgConfig):
@@ -293,6 +297,7 @@ def run(pages_path: str, dict_path: str, out_root: str, *,
     mark("canon")
 
     # ---- graph ------------------------------------------------------------
+    sink_buckets, sink_coalesce = graph.sink_geometry(cfg.sink_buckets)
     type_of = dict(zip(dict_table.column("entity_key").to_pylist(),
                        dict_table.column("entity_type").to_pylist()))
 
@@ -305,7 +310,7 @@ def run(pages_path: str, dict_path: str, out_root: str, *,
             columns=["url", "warc_ts", "quarantine_reason"]))
     else:
         page_meta = text_ds.select_columns(["url", "warc_ts"])
-    page_meta = page_meta.repartition(64)
+    page_meta = page_meta.repartition(sink_coalesce)
 
     # edges first: the deduped `mentions` edge weights double as the
     # per-entity mention counts (one aggregation instead of two)
@@ -336,9 +341,9 @@ def run(pages_path: str, dict_path: str, out_root: str, *,
     # separate counts pass, no sample+sort) — see graph.py
     if ckpt:
         def edges_stage(tmp: str) -> dict:
-            n, _ = graph.finalize_sort_write_edges(edge_partials, tmp,
-                                                   known_ids,
-                                                   num_buckets=cfg.sink_buckets)
+            n, _ = graph.finalize_sort_write_edges(
+                edge_partials, tmp, known_ids, num_buckets=sink_buckets,
+                coalesce_blocks=sink_coalesce)
             return {"edges": n}
         ckpt.run_stage("edges", edges_stage, fingerprint)
         counts = graph.load_mention_counts(edges_dir)
@@ -347,9 +352,43 @@ def run(pages_path: str, dict_path: str, out_root: str, *,
         # clear stale parts: a rerun into the same out_root must not
         # mix old and new rows
         _shutil.rmtree(edges_dir, ignore_errors=True)
-        _, counts = graph.finalize_sort_write_edges(edge_partials,
-                                                    edges_dir, known_ids,
-                                                    num_buckets=cfg.sink_buckets)
+
+        # OVERLAP the two sinks: the expensive node-partial upstream
+        # (NIL actor pool + per-page sha1 ids) is independent of the
+        # edges sink — only the tiny entity-node table needs the edge
+        # exchange's mention counts. Run the edges sink in a thread
+        # while the node partials materialize, then union the (counts-
+        # gated, dictionary-bounded) entity nodes in for the final
+        # exchange. At low parallelism both saturate the CPUs anyway;
+        # at high parallelism this removes a serial phase boundary.
+        import threading
+
+        edges_result: dict = {}
+
+        def _edges_sink() -> None:
+            try:
+                _, c = graph.finalize_sort_write_edges(
+                    edge_partials, edges_dir, known_ids,
+                    num_buckets=sink_buckets,
+                    coalesce_blocks=sink_coalesce)
+                edges_result["counts"] = c
+            except BaseException as exc:  # re-raised on the main thread
+                edges_result["error"] = exc
+
+        th = threading.Thread(target=_edges_sink, name="edges-sink")
+        th.start()
+        nil_partials = linked_ds \
+            .select_columns(["subj", "subj_type", "obj", "obj_type"]) \
+            .map_batches(graph.NilNodePartials, batch_format="pyarrow",
+                         batch_size=cfg.canon_batch_size,
+                         concurrency=cfg.canon_concurrency,
+                         fn_constructor_kwargs={"map_ref": map_ref})
+        nodes_pre = graph.page_nodes(page_meta).union(nil_partials) \
+            .repartition(sink_coalesce).materialize()
+        th.join()
+        if "error" in edges_result:
+            raise edges_result["error"]
+        counts = edges_result["counts"]
     mark("edges sink")
 
     ent_nodes = ray.data.from_arrow(
@@ -360,30 +399,29 @@ def run(pages_path: str, dict_path: str, out_root: str, *,
     if ckpt:
         nil_partials = graph.nil_entity_node_partials(canon_committed,
                                                       known_ids)
+        nodes_ds = ent_nodes.union(graph.page_nodes(page_meta)) \
+            .union(nil_partials)
     else:
-        nil_partials = linked_ds \
-            .select_columns(["subj", "subj_type", "obj", "obj_type"]) \
-            .map_batches(graph.NilNodePartials, batch_format="pyarrow",
-                         batch_size=cfg.canon_batch_size,
-                         concurrency=cfg.canon_concurrency,
-                         fn_constructor_kwargs={"map_ref": map_ref})
-    nodes_ds = ent_nodes.union(graph.page_nodes(page_meta)) \
-        .union(nil_partials)
+        nodes_ds = ent_nodes.union(nodes_pre)
     if ckpt:
         def nodes_stage(tmp: str) -> dict:
             n = graph.range_sorted_write(nodes_ds, "node_id", ["node_id"],
                                          tmp, graph.NODES_SCHEMA,
                                          graph.encode_nodes_hex,
-                                         num_buckets=cfg.sink_buckets,
-                                         dedup_key=True)
+                                         num_buckets=sink_buckets,
+                                         dedup_key=True,
+                                         coalesce_blocks=sink_coalesce)
             return {"nodes": n}
         ckpt.run_stage("nodes", nodes_stage, fingerprint)
     else:
         _shutil.rmtree(nodes_dir, ignore_errors=True)
+        # nodes_pre is already coalesced+materialized (overlap above);
+        # a second repartition would only add a pass
         graph.range_sorted_write(nodes_ds, "node_id", ["node_id"],
                                  nodes_dir, graph.NODES_SCHEMA,
                                  graph.encode_nodes_hex,
-                                 num_buckets=cfg.sink_buckets, dedup_key=True)
+                                 num_buckets=sink_buckets, dedup_key=True,
+                                 coalesce_blocks=None)
     mark("nodes sink")
 
     return {

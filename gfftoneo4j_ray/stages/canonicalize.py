@@ -74,12 +74,22 @@ def build_canonical_mapping(linked_ds, num_partitions: int = 64) -> dict:
     Phases 1-3 above. Returns the driver-side mapping (bounded by the
     alias-pair universe, NOT by corpus size — see module docstring).
     """
+    import ray
+
     pairs = linked_ds.map_batches(emit_pairs_batch, batch_format="pyarrow")
     # phase 2: hash-partition the pair space on surface (bucketed — the
     # exchange key is a small int, ops.hashagg layout) so each
     # surface's edges land in one partition, then per-partition
     # dedup + union-find compress to (member, root) edges.
+    # The exchange's cost is O(blocks × buckets) scheduling objects,
+    # not pair volume (the pair set is alias-universe-bounded) — size
+    # both to the cluster and coalesce the per-batch partials first
+    # (see stages.graph.sink_geometry for the measurement).
     from ..ops.hashagg import append_bucket
+
+    cpus = int(ray.cluster_resources().get("CPU", 32)) or 32
+    num_partitions = max(8, min(num_partitions, 2 * cpus))
+    pairs = pairs.repartition(num_partitions)
 
     def add_bucket(t: pa.Table) -> pa.Table:
         return append_bucket(t, ["surface"], num_partitions)

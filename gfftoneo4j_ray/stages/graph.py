@@ -224,42 +224,56 @@ class NilNodePartials:
 
 def _order_edges_bucket(bucket: pa.Table) -> pa.Table:
     """One hash bucket of hosts: sort by (host, warc_ts, url), emit
-    adjacent pairs within each host run (vectorized boundary mask)."""
+    adjacent pairs within each host run (vectorized boundary mask —
+    the only per-row Python is the sha1 id, which has no Arrow
+    kernel)."""
+    import numpy as np
+
     g = bucket.sort_by([("host", "ascending"), ("warc_ts", "ascending"),
                         ("url", "ascending")])
-    hosts = g.column("host").to_pylist()
-    urls = g.column("url").to_pylist()
-    if len(urls) < 2:
+    if g.num_rows < 2:
         return EDGES_BIN_SCHEMA.empty_table()
-    ids = [page_node_id_bin(u) for u in urls]
-    src, dst = [], []
-    for i in range(len(ids) - 1):
-        if hosts[i] == hosts[i + 1]:
-            src.append(ids[i])
-            dst.append(ids[i + 1])
+    hosts = g.column("host").to_numpy(zero_copy_only=False)
+    ids = pa.array([page_node_id_bin(u)
+                    for u in g.column("url").to_pylist()], pa.binary(20))
+    same = pa.array(hosts[:-1] == hosts[1:])
+    src = ids.slice(0, len(ids) - 1).filter(same)
+    dst = ids.slice(1).filter(same)
     n = len(src)
     return pa.table({
-        "src": pa.array(src, pa.binary(20)),
-        "dst": pa.array(dst, pa.binary(20)),
+        "src": src,
+        "dst": dst,
         "type": pa.array(["order"] * n, pa.string()),
         "pred": pa.array([""] * n, pa.string()),
-        "weight": pa.array([1] * n, pa.int64()),
+        "weight": pa.array(np.ones(n, dtype=np.int64), pa.int64()),
     })
 
 
-def order_edges(pages_ds, num_buckets: int = 64):
+def order_edges(pages_ds, num_buckets: int | None = None):
     """page rows (url, warc_ts) → `order` chain edges, one chain per host.
 
     Shuffle key: hash(host) % B (SURVEY.md §7.4's seqname analogue) —
     bucketed so the exchange groups B ints, not one group per host;
     all pages of a host land in one bucket, so per-host chains are
-    complete by construction."""
+    complete by construction. ``num_buckets=None`` sizes the exchange
+    to the cluster (see sink_geometry)."""
+    import ray
+
     from ..ops.hashagg import append_bucket
 
+    if num_buckets is None:
+        cpus = int(ray.cluster_resources().get("CPU", 32)) or 32
+        num_buckets = max(8, min(64, 2 * cpus))
+
     def add_host(t: pa.Table) -> pa.Table:
-        hosts = [host_of(u) for u in t.column("url").to_pylist()]
+        import pyarrow.compute as pc
+
+        # vectorized RE2 extract == host_of per row ('' on no match)
+        ex = pc.extract_regex(t["url"], r"^https?://(?P<h>[^/]+)")
+        hosts = pc.fill_null(pc.struct_field(ex, "h"), "")
         out = t.select(["url", "warc_ts"]).append_column(
-            "host", pa.array(hosts, pa.string()))
+            "host", hosts.combine_chunks() if isinstance(
+                hosts, pa.ChunkedArray) else hosts)
         return append_bucket(out, ["host"], num_buckets)
 
     with_host = pages_ds.map_batches(add_host, batch_format="pyarrow")
@@ -519,9 +533,33 @@ def _count_part_rows(out_dir: str) -> int:
                if f.endswith(".parquet") and not f.startswith("_"))
 
 
+def sink_geometry(num_buckets: int | None = None,
+                  coalesce_blocks: int | None = None) -> tuple[int, int]:
+    """(num_buckets, coalesce_blocks) for the range-sorted sinks, sized
+    to the cluster: the exchange materializes O(blocks × buckets)
+    intermediate objects, and per-object scheduling/IPC overhead — not
+    row volume — dominates the sink when that product explodes
+    (measured on 3.3M edge partials: 192 blocks × 128 buckets = 165 s;
+    32 blocks × 64 buckets = 4–11 s, identical output). Defaults:
+    buckets = next pow2 of 2×CPU (clamped [16, 256]; 256 is the 1-byte
+    prefix ceiling — extend _append_range_bucket to 2 bytes beyond),
+    coalesce = 2×CPU (at real-cluster scale raise both with node count
+    so blocks stay near the object-store target block size)."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 32)) or 32
+    if num_buckets is None:
+        v = max(16, min(2 * cpus, 256))
+        num_buckets = 1 << (v - 1).bit_length()   # round up to pow2 ≤ 256
+    if coalesce_blocks is None:
+        coalesce_blocks = max(2 * cpus, 16)
+    return num_buckets, coalesce_blocks
+
+
 def range_sorted_write(ds, key: str, sort_keys: list, out_dir: str,
                        schema: pa.Schema, encode_fn, num_buckets: int = 64,
-                       dedup_key: bool = False) -> int:
+                       dedup_key: bool = False,
+                       coalesce_blocks: int | None = None) -> int:
     """Sink ``ds`` as globally-sorted partitioned parquet; returns rows
     written. ``key`` (binary(20)) is the range-partition column and
     must be ``sort_keys[0]``; ``encode_fn`` maps the internal binary
@@ -539,24 +577,32 @@ def range_sorted_write(ds, key: str, sort_keys: list, out_dir: str,
     import numpy as np
 
     os.makedirs(out_dir, exist_ok=True)
+    if coalesce_blocks:
+        # bound the exchange's O(blocks × buckets) object count — see
+        # sink_geometry; the repartition is a cheap split/merge of the
+        # slim partial rows, and the groupby is a barrier anyway
+        ds = ds.repartition(coalesce_blocks)
 
     order = [(k, "ascending") for k in sort_keys]
 
-    def write_group(g: pa.Table) -> pa.Table:
-        rb = g["_rb"][0].as_py()
-        t = g.drop_columns(["_rb"]).sort_by(order)
+    def write_group(rb: int, t: pa.Table | None) -> int:
+        if t is None or t.num_rows == 0:
+            return 0
+        t = t.sort_by(order)
         if dedup_key and t.num_rows > 1:
             ids = np.array(t[key].to_pylist(), dtype=object)
             keep = np.r_[True, ids[1:] != ids[:-1]]
             if not keep.all():
                 t = t.filter(pa.array(keep, pa.bool_()))
         _write_part(encode_fn(t), out_dir, rb)
-        return pa.table({"bucket": pa.array([rb], pa.int32())})
+        return t.num_rows
 
-    ds.map_batches(lambda t: _append_range_bucket(t, key, num_buckets),
-                   batch_format="pyarrow") \
-        .groupby("_rb").map_groups(write_group, batch_format="pyarrow") \
-        .materialize()
+    from ..ops.exchange import bucket_exchange
+
+    bucketed = ds.map_batches(
+        lambda t: _append_range_bucket(t, key, num_buckets),
+        batch_format="pyarrow")
+    bucket_exchange(bucketed, num_buckets, write_group)
     n = _count_part_rows(out_dir)
     if n == 0 and not any(f.endswith(".parquet") for f in os.listdir(out_dir)):
         write_empty_parts(out_dir, schema)
@@ -570,7 +616,9 @@ _COUNTS_SIDE_FILE = "_mention_counts.parquet"  # '_' prefix: ignored by
 
 def finalize_sort_write_edges(edge_partials_ds, out_dir: str,
                               known_ids_hex: set,
-                              num_buckets: int = 64) -> tuple[int, dict]:
+                              num_buckets: int = 64,
+                              coalesce_blocks: int | None = None
+                              ) -> tuple[int, dict]:
     """Fused edge sink: partial edge rows → per-range-bucket exact
     dedup (D1) + sort + sorted-part write + mention-count partials, in
     ONE exchange and one pass (replaces finalize_edges.materialize() +
@@ -587,6 +635,10 @@ def finalize_sort_write_edges(edge_partials_ds, out_dir: str,
     import pyarrow.parquet as pq
 
     os.makedirs(out_dir, exist_ok=True)
+    if coalesce_blocks:
+        # bound the exchange's O(blocks × buckets) object count — see
+        # sink_geometry
+        edge_partials_ds = edge_partials_ds.repartition(coalesce_blocks)
     # dictionary-bounded value set (ray.put-broadcast it if the
     # dictionary universe ever stops being driver-small)
     known_arr = pa.array(sorted(bytes.fromhex(k) for k in known_ids_hex),
@@ -594,9 +646,9 @@ def finalize_sort_write_edges(edge_partials_ds, out_dir: str,
     order = [(k, "ascending") for k in ("src", "type", "dst", "pred")]
     COUNTS_SCHEMA = pa.schema([("dst", pa.binary(20)), ("n", pa.int64())])
 
-    def write_group(g: pa.Table) -> pa.Table:
-        rb = g["_rb"][0].as_py()
-        t = g.drop_columns(["_rb"])
+    def write_group(rb: int, t: pa.Table | None) -> pa.Table:
+        if t is None or t.num_rows == 0:
+            return COUNTS_SCHEMA.empty_table()
         t = t.group_by(["src", "dst", "type", "pred"]).aggregate([("w", "sum")])
         expected = ["src", "dst", "type", "pred", "w_sum"]
         if t.column_names != expected:   # see ops/hashagg._checked_rename
@@ -613,16 +665,17 @@ def finalize_sort_write_edges(edge_partials_ds, out_dir: str,
             return COUNTS_SCHEMA.empty_table()
         return cm.rename_columns(["dst", "n"]).cast(COUNTS_SCHEMA)
 
-    partials = edge_partials_ds.map_batches(
+    from ..ops.exchange import bucket_exchange
+
+    bucketed = edge_partials_ds.map_batches(
         lambda t: _append_range_bucket(t, "src", num_buckets),
-        batch_format="pyarrow") \
-        .groupby("_rb").map_groups(write_group, batch_format="pyarrow") \
-        .take_all()
+        batch_format="pyarrow")
+    partials = bucket_exchange(bucketed, num_buckets, write_group)
 
     counts: dict[str, int] = {}
-    for row in partials:
-        d = row["dst"]
-        counts[d.hex()] = counts.get(d.hex(), 0) + int(row["n"])
+    for ct in partials:
+        for d, nn in zip(ct["dst"].to_pylist(), ct["n"].to_pylist()):
+            counts[d.hex()] = counts.get(d.hex(), 0) + int(nn)
 
     n = _count_part_rows(out_dir)
     if n == 0 and not any(f.endswith(".parquet") and not f.startswith("_")
