@@ -114,9 +114,12 @@ def run_bench() -> dict:
     os.makedirs(BENCH_ROOT, exist_ok=True)
     pq.write_table(dictionary_table(), dict_path)
 
-    # stages run one-at-a-time under checkpointing, so each pool can
-    # start near-full; cap below NUM_CPUS so read/write tasks never starve
-    pool = (1, max(2, NUM_CPUS - 2))
+    # FIXED-size actor pools: with an autoscaling (min, max) tuple Ray
+    # keeps the pool near min — measured 2-3 busy cores of 16 permitted
+    # during the fused extract+link phase; a fixed int provisions the
+    # full pool immediately. Cap below NUM_CPUS so read/write tasks
+    # never starve.
+    pool = max(2, NUM_CPUS - 2)
     cfg = kg.KgConfig(triples_concurrency=pool, link_concurrency=pool,
                       canon_concurrency=pool,
                       override_num_blocks=max(256, 8 * NUM_CPUS))

@@ -75,3 +75,37 @@ def bucket_exchange(ds, num_buckets: int, reduce_fn, *,
     outs = [reduce_bucket.remote(b, *[s[b] for s in splits])
             for b in range(num_buckets)]
     return ray.get(outs)
+
+
+def bucket_exchange_ds(ds, num_buckets: int, reduce_fn, *,
+                       bucket_col: str = "_rb", empty_schema=None):
+    """Like ``bucket_exchange`` but the per-bucket results (pyarrow
+    Tables) stay in the object store and come back as a Dataset
+    (``from_arrow_refs`` over the un-gotten reduce refs) — for
+    exchanges that feed further pipeline stages rather than the
+    driver. ``empty_schema`` supplies the result schema when the
+    input has no blocks."""
+    import ray
+
+    @ray.remote(num_returns=max(num_buckets, 2))
+    def split_block(t):
+        parts = _split_one(t, bucket_col, num_buckets)
+        return parts + (None,) * (max(num_buckets, 2) - num_buckets)
+
+    @ray.remote
+    def reduce_bucket(b, *tables):
+        tabs = [x for x in tables if x is not None]
+        t = pa.concat_tables(tabs, promote_options="default") if tabs \
+            else None
+        return reduce_fn(b, t)
+
+    refs = []
+    for bundle in ds.iter_internal_ref_bundles():
+        refs.extend(blk for blk, _ in bundle.blocks)
+    if not refs:
+        schema = empty_schema or pa.schema([])
+        return ray.data.from_arrow(schema.empty_table())
+    splits = [split_block.remote(r) for r in refs]
+    outs = [reduce_bucket.remote(b, *[s[b] for s in splits])
+            for b in range(num_buckets)]
+    return ray.data.from_arrow_refs(outs)

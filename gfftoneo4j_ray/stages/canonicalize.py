@@ -80,28 +80,31 @@ def build_canonical_mapping(linked_ds, num_partitions: int = 64) -> dict:
     # phase 2: hash-partition the pair space on surface (bucketed — the
     # exchange key is a small int, ops.hashagg layout) so each
     # surface's edges land in one partition, then per-partition
-    # dedup + union-find compress to (member, root) edges.
-    # The exchange's cost is O(blocks × buckets) scheduling objects,
-    # not pair volume (the pair set is alias-universe-bounded) — size
-    # both to the cluster and coalesce the per-batch partials first
-    # (see stages.graph.sink_geometry for the measurement).
+    # dedup + union-find compress to (member, root) edges. The pair
+    # volume is alias-universe-bounded, so the exchange cost is all
+    # machinery — run it as the raw-task bucket exchange
+    # (ops.exchange; measured rationale in stages.graph.sink_geometry).
+    from ..ops.exchange import bucket_exchange
     from ..ops.hashagg import append_bucket
 
     cpus = int(ray.cluster_resources().get("CPU", 32)) or 32
     num_partitions = max(8, min(num_partitions, 2 * cpus))
-    pairs = pairs.repartition(num_partitions)
 
     def add_bucket(t: pa.Table) -> pa.Table:
-        return append_bucket(t, ["surface"], num_partitions)
+        return append_bucket(t, ["surface"], num_partitions, name="_rb")
 
-    def bucket_uf(g: pa.Table) -> pa.Table:
-        return _local_unionfind(_distinct_pairs(g.drop_columns(["bucket"])))
+    def bucket_uf(b: int, g: pa.Table | None) -> pa.Table:
+        if g is None or g.num_rows == 0:
+            return pa.schema([("member", pa.string()),
+                              ("root", pa.string())]).empty_table()
+        return _local_unionfind(_distinct_pairs(g))
 
-    local = pairs.map_batches(add_bucket, batch_format="pyarrow") \
-        .groupby("bucket").map_groups(bucket_uf, batch_format="pyarrow")
+    local = bucket_exchange(
+        pairs.map_batches(add_bucket, batch_format="pyarrow"),
+        num_partitions, bucket_uf)
     # phase 3: driver merge over compressed representative edges (small)
     uf = UnionFind()
-    for b in local.iter_batches(batch_format="pyarrow", batch_size=65536):
+    for b in local:
         for m, r in zip(b.column("member").to_pylist(),
                         b.column("root").to_pylist()):
             uf.union(m, r)

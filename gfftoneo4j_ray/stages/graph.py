@@ -31,6 +31,7 @@ from __future__ import annotations
 import re
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..functions.hashing import (alias_node_id, alias_node_id_bin,
                                  content_id_bin, hex_decode_ids,
@@ -144,40 +145,41 @@ class EmitEdgesPartial:
             return bytes.fromhex(hit[1])
         return content_id_bin("entity", surface)
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        import pandas as pd
+    @staticmethod
+    def _mapped(col, fn) -> pa.Array:
+        """fn over each DISTINCT value (Python sha1, no Arrow kernel),
+        scattered back with a C-level take on the dictionary indices."""
+        enc = pc.dictionary_encode(col.combine_chunks() if isinstance(
+            col, pa.ChunkedArray) else col)
+        vals = pa.array([fn(v) for v in enc.dictionary.to_pylist()],
+                        pa.binary(20))
+        return vals.take(enc.indices)
 
-        urls = batch.column("url").to_pandas()
-        preds = batch.column("pred").to_pandas()
-        s_surf = batch.column("subj").to_pandas()
-        o_surf = batch.column("obj").to_pandas()
-        nid_of = {s: self._nid(s)
-                  for s in pd.unique(pd.concat([s_surf, o_surf]))}
-        s_nid = s_surf.map(nid_of)
-        o_nid = o_surf.map(nid_of)
-        pid = urls.map({u: page_node_id_bin(u) for u in pd.unique(urls)})
-        s_aid = s_surf.map({a: alias_node_id_bin(a)
-                            for a in pd.unique(s_surf)})
-        o_aid = o_surf.map({a: alias_node_id_bin(a)
-                            for a in pd.unique(o_surf)})
-        n = len(urls)
-        empty = pd.Series([""] * n)
-        frames = [
-            pd.DataFrame({"src": s_nid, "dst": o_nid,
-                          "type": "asserts", "pred": preds}),
-            pd.DataFrame({"src": pid, "dst": s_nid,
-                          "type": "mentions", "pred": empty}),
-            pd.DataFrame({"src": pid, "dst": o_nid,
-                          "type": "mentions", "pred": empty}),
-            pd.DataFrame({"src": s_aid, "dst": s_nid,
-                          "type": "alias_of", "pred": empty}),
-            pd.DataFrame({"src": o_aid, "dst": o_nid,
-                          "type": "alias_of", "pred": empty}),
-        ]
-        t = pa.Table.from_pandas(pd.concat(frames, ignore_index=True),
-                                 preserve_index=False)
-        t = t.set_column(0, "src", t["src"].cast(pa.binary(20))) \
-             .set_column(1, "dst", t["dst"].cast(pa.binary(20)))
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        s_surf = batch.column("subj")
+        o_surf = batch.column("obj")
+        s_nid = self._mapped(s_surf, self._nid)
+        o_nid = self._mapped(o_surf, self._nid)
+        pid = self._mapped(batch.column("url"), page_node_id_bin)
+        s_aid = self._mapped(s_surf, alias_node_id_bin)
+        o_aid = self._mapped(o_surf, alias_node_id_bin)
+        n = batch.num_rows
+        preds = batch.column("pred").combine_chunks() if isinstance(
+            batch.column("pred"), pa.ChunkedArray) else batch.column("pred")
+        empty = pa.nulls(n, pa.string()).fill_null("")
+
+        def rep(s: str) -> pa.Array:
+            return pa.nulls(n, pa.string()).fill_null(s)
+
+        src = pa.concat_arrays([s_nid, pid, pid, s_aid, o_aid])
+        dst = pa.concat_arrays([o_nid, s_nid, o_nid, s_nid, o_nid])
+        typ = pa.concat_arrays([rep("asserts"), rep("mentions"),
+                                rep("mentions"), rep("alias_of"),
+                                rep("alias_of")])
+        prd = pa.concat_arrays([preds, empty, empty, empty, empty])
+        t = pa.table({"src": src.cast(pa.binary(20)),
+                      "dst": dst.cast(pa.binary(20)),
+                      "type": typ, "pred": prd})
         g = t.group_by(["src", "dst", "type", "pred"]) \
             .aggregate([("src", "count")])
         g = g.rename_columns(["src", "dst", "type", "pred", "w"])
@@ -261,6 +263,8 @@ def order_edges(pages_ds, num_buckets: int | None = None):
 
     from ..ops.hashagg import append_bucket
 
+    from ..ops.exchange import bucket_exchange_ds
+
     if num_buckets is None:
         cpus = int(ray.cluster_resources().get("CPU", 32)) or 32
         num_buckets = max(8, min(64, 2 * cpus))
@@ -274,12 +278,16 @@ def order_edges(pages_ds, num_buckets: int | None = None):
         out = t.select(["url", "warc_ts"]).append_column(
             "host", hosts.combine_chunks() if isinstance(
                 hosts, pa.ChunkedArray) else hosts)
-        return append_bucket(out, ["host"], num_buckets)
+        return append_bucket(out, ["host"], num_buckets, name="_rb")
+
+    def reduce_bucket(b: int, g: pa.Table | None) -> pa.Table:
+        if g is None or g.num_rows == 0:
+            return EDGES_BIN_SCHEMA.empty_table()
+        return _order_edges_bucket(g)
 
     with_host = pages_ds.map_batches(add_host, batch_format="pyarrow")
-    return with_host.groupby("bucket").map_groups(
-        lambda g: _order_edges_bucket(g.drop_columns(["bucket"])),
-        batch_format="pyarrow")
+    return bucket_exchange_ds(with_host, num_buckets, reduce_bucket,
+                              empty_schema=EDGES_BIN_SCHEMA)
 
 
 def finalize_edges(edge_partials_ds, num_buckets: int = 64):
