@@ -391,3 +391,41 @@ def q_supplier_nation(sf_dir: str):
     return hash_aggregate(enriched, "n_name",
                           [("bal_c", "sum", "sum_bal_c"),
                            ("bal_c", "count", "n_suppliers")], num_buckets=4)
+
+
+def q_dim_rollups(sf_dir: str):
+    """Tagged union of the two dimension-table rollups (one driver
+    query slot covers both operators; each keeps its own kernel):
+
+      * ``dim='brand'``  — q_part_brand_stats (hashagg combiner layout
+        over the part table: n / exact cent sum / size min-max).
+      * ``dim='nation'`` — q_supplier_nation (broadcast 25-row nation
+        dim + tiny per-nation aggregate; min_v/max_v are null).
+
+    Columns are aligned to (dim, dim_key, n, sum_c, min_v, max_v) so
+    the DuckDB oracle is a plain UNION ALL of the two group-bys."""
+    def tag_brand(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "dim": pa.array(["brand"] * t.num_rows, pa.string()),
+            "dim_key": t["p_brand"],
+            "n": pc.cast(t["n_parts"], pa.int64()),
+            "sum_c": pc.cast(t["sum_price_c"], pa.int64()),
+            "min_v": pc.cast(t["min_size"], pa.int64()),
+            "max_v": pc.cast(t["max_size"], pa.int64()),
+        })
+
+    def tag_nation(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "dim": pa.array(["nation"] * t.num_rows, pa.string()),
+            "dim_key": t["n_name"],
+            "n": pc.cast(t["n_suppliers"], pa.int64()),
+            "sum_c": pc.cast(t["sum_bal_c"], pa.int64()),
+            "min_v": pa.nulls(t.num_rows, pa.int64()),
+            "max_v": pa.nulls(t.num_rows, pa.int64()),
+        })
+
+    brand = q_part_brand_stats(sf_dir).map_batches(tag_brand,
+                                                   batch_format="pyarrow")
+    nation = q_supplier_nation(sf_dir).map_batches(tag_nation,
+                                                   batch_format="pyarrow")
+    return brand.union(nation)

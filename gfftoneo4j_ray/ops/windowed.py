@@ -171,3 +171,50 @@ def q_hll_users(sf_dir: str):
     counts in tests)."""
     ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
     return hll_distinct(ds, key="user_id", group="event_type")
+
+
+def q_hll_error(sf_dir: str):
+    """Driver-visible accuracy artifact for the HLL sketch: per
+    event_type, the HLL estimate NEXT TO the exact COUNT(DISTINCT)
+    (computed distributed via the local-pairs → bucketed-global-dedup
+    → count layout of statsops.q_count_distinct) and the scaled
+    relative error ``floor(|est-exact|/exact * 10000 + 0.5)``.
+
+    The oracle is hybrid: exact_n comes from a real
+    ``COUNT(DISTINCT)`` over the events table in SQL; est_n from the
+    committed golden (the sketch is deterministic — fixed hash, merge-
+    invariant registers); err_c is recomputed in SQL from both — so a
+    wrong estimate OR a wrong exact path both fail the hash check.
+    The ≤5% error + merge-invariance contracts stay in
+    tests/test_analytics.py."""
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    est = hll_distinct(ds, key="user_id", group="event_type",
+                       out_name="est_n").to_pandas()
+
+    def local_distinct(t: pa.Table) -> pa.Table:
+        return t.group_by(["event_type", "user_id"]).aggregate([])
+
+    pairs = hash_aggregate(
+        ds.map_batches(local_distinct, batch_format="pyarrow"),
+        ["event_type", "user_id"], [("user_id", "count", "_c")],
+        num_buckets=16)
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["event_type"]).aggregate([("user_id", "count")])
+        return g.rename_columns(["event_type", "n_part"])
+
+    exact = hash_aggregate(
+        pairs.map_batches(count_partial, batch_format="pyarrow"),
+        "event_type", [("n_part", "sum", "exact_n")],
+        num_buckets=1).to_pandas()
+
+    # ≤ |event_type| rows on the driver — group-bounded, not row-bounded
+    m = est.merge(exact, on="event_type").sort_values("event_type")
+    err = np.floor(np.abs(m["est_n"] - m["exact_n"])
+                   / np.maximum(m["exact_n"], 1) * 10000 + 0.5).astype(np.int64)
+    return pa.table({
+        "event_type": pa.array(m["event_type"], pa.string()),
+        "exact_n": pa.array(m["exact_n"].astype("int64")),
+        "est_n": pa.array(m["est_n"].astype("int64")),
+        "err_c": pa.array(err),
+    })

@@ -39,8 +39,8 @@ def _norm(df: pd.DataFrame) -> pd.DataFrame:
 
 NEW_ORACLE_QUERIES = [
     "q_pivot", "q_grouping_sets", "q_count_distinct", "q_quantile_hist",
-    "q_arg_max", "q_numeric_stats", "q_sample_hash", "q_part_brand_stats",
-    "q_supplier_nation", "q_heavy_hitters", "q_tfidf", "q_redact",
+    "q_arg_max", "q_numeric_stats", "q_sample_hash", "q_dim_rollups",
+    "q_heavy_hitters", "q_tfidf", "q_redact",
     "q_quality_filter", "q_rolling_avg",
 ]
 
@@ -75,15 +75,17 @@ def test_sample_hash_rate(entrymod, ray_session):
 
 
 def test_hll_users_accuracy(entrymod, oracle_con, ray_session):
-    """The HLL sketch (rows-only entry, no SQL oracle possible) must
-    land within 5% of the exact distinct count for every group."""
-    got = entrymod.queries()["q_hll_users"](SF).to_pandas()
+    """The HLL estimate (q_hll_error's est_n column) must land within
+    5% of the exact distinct count for every group — and the exact_n
+    column (computed distributed) must equal SQL COUNT(DISTINCT)."""
+    got = entrymod.queries()["q_hll_error"](SF).to_pandas()
     exact = dict(oracle_con.execute(
         "SELECT event_type, COUNT(DISTINCT user_id) FROM events "
         "GROUP BY event_type").fetchall())
     assert set(got["event_type"]) == set(exact)
-    for et, n in zip(got["event_type"], got["n_approx"]):
-        assert abs(n - exact[et]) / exact[et] < 0.05, (et, n, exact[et])
+    for et, est, ex in zip(got["event_type"], got["est_n"], got["exact_n"]):
+        assert ex == exact[et], (et, ex, exact[et])
+        assert abs(est - ex) / ex < 0.05, (et, est, ex)
 
 
 def test_hll_merge_invariance(ray_session):

@@ -71,7 +71,7 @@ def test_entry_runs_and_returns_rows(entrymod):
 
 def test_rows_only_queries_return_rows(entrymod):
     qs = entrymod.queries()
-    for name in ["q_langid", "q_fingerprint", "q_simhash", "kg_triples",
-                 "mm_payload_features"]:
+    for name in ["q_doc_signatures", "kg_triples", "mm_features",
+                 "q_ann_recall"]:
         df = _to_df(qs[name](SF))
         assert len(df) > 0, name

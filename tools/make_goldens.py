@@ -83,6 +83,20 @@ def main() -> None:
                    os.path.join(OUT, "sf0_01_kg_triples.parquet"))
     print("kg_triples golden:", tri.num_rows, "triples")
 
+    # kg_triples_pr golden: the P/R-vs-oracle-extractor artifact's
+    # asserted fixed point — the distributed extraction must match the
+    # sequential oracle set exactly at this scale (P = R = 1), so any
+    # divergence (missed page, extra/dropped triple) flips a count and
+    # fails the value hash.
+    nt = tri.num_rows
+    pq.write_table(pa.table({
+        "n_expected": pa.array([nt], pa.int64()),
+        "n_got": pa.array([nt], pa.int64()),
+        "n_match": pa.array([nt], pa.int64()),
+        "precision_c": pa.array([10000], pa.int64()),
+        "recall_c": pa.array([10000], pa.int64()),
+    }), os.path.join(OUT, "sf0_01_kg_pr.parquet"))
+
     # --- multimodal goldens (deterministic fake featurizer/sampler) --------
     from gfftoneo4j_ray.stages.multimodal import FrameSampler, PayloadFeaturizer
 
@@ -118,6 +132,71 @@ def main() -> None:
         "lang_pred": pa.array([lang_id(t or "") for t in texts], pa.string()),
     }), os.path.join(OUT, "sf0_01_langid.parquet"))
     print("doc-function goldens:", len(ids), "docs")
+
+    # --- HLL estimate golden (deterministic sketch; the oracle joins
+    # this against a real SQL COUNT(DISTINCT) and recomputes err_c) ----
+    from gfftoneo4j_ray.ops.windowed import hll_distinct
+
+    ev = ray.data.read_parquet(os.path.join(SF, "events.parquet"),
+                               columns=["event_type", "user_id"])
+    est = hll_distinct(ev, key="user_id", group="event_type",
+                       out_name="est_n").to_pandas().sort_values("event_type")
+    pq.write_table(pa.table({
+        "event_type": pa.array(est["event_type"], pa.string()),
+        "est_n": pa.array(est["est_n"].astype("int64")),
+    }), os.path.join(OUT, "sf0_01_hll_users.parquet"))
+    print("hll golden:", len(est), "groups")
+
+    # --- ANN recall golden --------------------------------------------
+    # The exact top-k side is recomputed here with PLAIN NUMPY over the
+    # whole embeddings table (independent of the distributed
+    # brute_force_topk merge); LSH/IVF run through the library. The
+    # committed rows therefore pin BOTH the approximate methods'
+    # determinism and the distributed exact path's agreement with a
+    # one-process matmul.
+    import math
+
+    import numpy as np
+
+    from gfftoneo4j_ray.stages.similarity import ivf_topk, lsh_topk
+
+    emb = pq.read_table(os.path.join(SF, "embeddings.parquet"),
+                        columns=["vec_id", "embedding"])
+    vids = np.asarray(emb["vec_id"].to_pylist(), dtype=np.int64)
+    mat = np.array(emb["embedding"].to_pylist(), dtype=np.float64)
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+    qids, k = list(range(8)), 5
+    qmask = np.isin(vids, qids)
+    sims = mat[qmask] @ mat[~qmask].T
+    simc = np.floor(sims * 10000 + 0.5).astype(np.int64)
+    cids = vids[~qmask]
+    eset = set()
+    for qi, qid in enumerate(vids[qmask]):
+        order = np.lexsort((cids, -simc[qi]))[:k]
+        eset.update((int(qid), int(cids[o])) for o in order)
+
+    emb_ds = ray.data.read_parquet(os.path.join(SF, "embeddings.parquet"),
+                                   columns=["vec_id", "embedding"])
+    # n_bits=4 matches __ray_entry__.q_ann_recall (see its docstring)
+    rows = []
+    for method, fn in (("ivf", ivf_topk),
+                       ("lsh", lambda ds, **kw: lsh_topk(ds, n_bits=4,
+                                                         **kw))):
+        got = fn(emb_ds, query_ids=qids, k=k).to_pandas()
+        gset = set(zip(got["query_id"].astype(int),
+                       got["neighbor_id"].astype(int)))
+        inter = len(gset & eset)
+        rows.append((method, len(eset), len(gset), inter,
+                     int(math.floor(inter / max(len(eset), 1) * 10000
+                                    + 0.5))))
+    pq.write_table(pa.table({
+        "method": pa.array([r[0] for r in rows], pa.string()),
+        "n_expected": pa.array([r[1] for r in rows], pa.int64()),
+        "n_got": pa.array([r[2] for r in rows], pa.int64()),
+        "n_match": pa.array([r[3] for r in rows], pa.int64()),
+        "recall_c": pa.array([r[4] for r in rows], pa.int64()),
+    }), os.path.join(OUT, "sf0_01_ann_recall.parquet"))
+    print("ann recall golden:", rows)
     ray.shutdown()
 
 
