@@ -37,17 +37,17 @@ gfftoneo4j_ray.quiet_empty_schema_warnings()
 
 
 def _docs(sf_dir: str, columns=("doc_id", "text")):
-    import ray
+    from gfftoneo4j_ray import read_parquet_clean
 
-    return ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                                 columns=list(columns))
+    return read_parquet_clean(f"{sf_dir}/documents.parquet",
+                              columns=list(columns))
 
 
 def _emb(sf_dir: str):
-    import ray
+    from gfftoneo4j_ray import read_parquet_clean
 
-    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
-                                 columns=["vec_id", "embedding"])
+    return read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                              columns=["vec_id", "embedding"])
 
 
 # ---------------------------------------------------------------------------

@@ -130,9 +130,10 @@ def run_bench() -> dict:
     # pipeline regression. Scaling mode keeps N=1 here (its harness
     # already does best-of-N across fresh processes).
     headline_runs = int(os.environ.get(
-        "BENCH_HEADLINE_RUNS", "1" if os.environ.get("BENCH_MODE") else "2"))
+        "BENCH_HEADLINE_RUNS", "1" if os.environ.get("BENCH_MODE") else "3"))
 
     mode = os.environ.get("BENCH_MODE", "checkpointed")
+    run_times: list[float] = []
     if mode == "core":
         # the throughput-metric path: pages → text → triples → linking →
         # canonical triples (no graph sink) — docs/s and triples/s
@@ -162,14 +163,17 @@ def run_bench() -> dict:
                                        concurrency=pool).count()
         headline = time.perf_counter() - t0
     else:
-        headline = None
+        # best-of-N with EVERY run time recorded in the JSON: this
+        # host's throughput swings ~3× over minutes (hypervisor steal,
+        # measured in BASELINE.md) — per-run times make a noisy window
+        # visible in the artifact instead of inferable after the fact
         for _ in range(max(1, headline_runs)):
             shutil.rmtree(out_root, ignore_errors=True)
             t0 = time.perf_counter()
             kg.run(pages_dir, dict_path, out_root, cfg=cfg,
                    checkpointed=(mode != "stream"), resume=False)
-            dt = time.perf_counter() - t0
-            headline = dt if headline is None else min(headline, dt)
+            run_times.append(round(time.perf_counter() - t0, 3))
+        headline = min(run_times)
 
         if mode != "stream":
             with open(os.path.join(out_root, "triples", "_SUCCESS.json")) as f:
@@ -202,6 +206,7 @@ def run_bench() -> dict:
         "metric": "kg_pipeline_sec",
         "value": round(headline, 3),
         "unit": "sec",
+        "headline_runs_sec": run_times or [round(headline, 3)],
         "queries": queries,
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,

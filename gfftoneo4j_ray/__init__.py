@@ -48,3 +48,29 @@ def quiet_empty_schema_warnings() -> None:
     logging.getLogger(
         "ray.data._internal.execution.streaming_executor_state"
     ).addFilter(_DropEmptySchemaWarn())
+
+
+def read_parquet_clean(path: str, *, columns=None, **kwargs):
+    """``ray.data.read_parquet`` with an explicit METADATA-FREE schema.
+
+    Parquet files written through pandas carry a ``b'pandas'`` schema-
+    metadata dict; blocks read from them keep it, and Ray's internal
+    schema deduplication cannot hash a dict — every exchange-bearing
+    pipeline then logs ``Failed to hash the schemas (for
+    deduplication): unhashable type: 'dict'`` from inside the read
+    tasks (where no downstream strip can reach). Passing the footer
+    schema with metadata removed (one driver-side footer read) makes
+    the blocks metadata-free at the source."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    try:
+        f = pq.read_schema(path)
+        names = list(columns) if columns is not None else f.names
+        kwargs["schema"] = pa.schema(
+            [f.field(n).remove_metadata() for n in names])
+    except (OSError, KeyError):
+        # directory datasets / missing columns: let Ray infer
+        pass
+    return ray.data.read_parquet(path, columns=columns, **kwargs)

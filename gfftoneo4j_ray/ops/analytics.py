@@ -32,7 +32,9 @@ TOKEN_SPLIT = r"[^a-z0-9_'-]+"
 def _docs(sf_dir: str, columns=("doc_id", "text")):
     import ray
 
-    return ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    from .. import read_parquet_clean
+
+    return read_parquet_clean(f"{sf_dir}/documents.parquet",
                                  columns=list(columns))
 
 
@@ -171,7 +173,9 @@ def q_redact(sf_dir: str):
     engines run RE2, so replacement semantics match byte-for-byte."""
     import ray
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    from .. import read_parquet_clean
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
                                columns=["event_id", "props"])
 
     def scrub(t: pa.Table) -> pa.Table:

@@ -19,6 +19,13 @@ express without a general sort): the partitioning assumption is that
 guarantee it. Object count is O(blocks × buckets) zero-copy slices;
 wave 2 is ``num_buckets`` tasks, so size buckets ≈ 2× cluster cores.
 
+The primitives compose at the ObjectRef level so sinks can OVERLAP:
+``split_refs`` launches wave 1 while the caller's Dataset streams;
+``reduce_refs`` launches wave 2 un-gotten (optionally with an extra
+per-bucket input ref that becomes ready later — Ray then delays just
+that bucket's reduce, with no driver barrier anywhere). The blocking
+``bucket_exchange`` keeps the original convenience contract.
+
 Fault behavior matches Dataset tasks: both waves are stateless pure
 tasks, retried by Ray on failure; sink reduce kernels write via
 atomic tmp+rename so retries are idempotent.
@@ -40,17 +47,13 @@ def _split_one(t: pa.Table, bucket_col: str, num_buckets: int):
                  for b in range(num_buckets))
 
 
-def bucket_exchange(ds, num_buckets: int, reduce_fn, *,
-                    bucket_col: str = "_rb") -> list:
-    """Exchange ``ds`` (a Dataset whose blocks carry ``bucket_col``
-    dense ints in [0, num_buckets)) and run ``reduce_fn(bucket_id,
-    table)`` once per bucket on the concatenated bucket rows (the
-    bucket column is stripped). Returns ``[reduce_fn result per
-    non-degenerate run]`` in bucket order — results are ray.get
-    (keep them small: counts, paths, partial tables).
-
-    Buckets receive an empty (schema-correct) table when no rows hash
-    to them, so ``reduce_fn`` sees every bucket id exactly once."""
+def split_refs(ds, num_buckets: int, *, bucket_col: str = "_rb") -> list:
+    """Wave 1: consume ``ds`` (blocks carrying ``bucket_col`` dense
+    ints in [0, num_buckets)) and launch one split task per block.
+    Returns a list of per-block ref tuples (each ``num_buckets`` long;
+    empty list for an empty dataset). BLOCKS the calling thread while
+    the upstream pipeline streams — run in a worker thread to overlap
+    two exchanges' upstreams."""
     import ray
 
     @ray.remote(num_returns=max(num_buckets, 2))
@@ -59,6 +62,24 @@ def bucket_exchange(ds, num_buckets: int, reduce_fn, *,
         # pad to ≥2 returns (ray num_returns≥2 contract kept uniform)
         return parts + (None,) * (max(num_buckets, 2) - num_buckets)
 
+    splits = []
+    for bundle in ds.iter_internal_ref_bundles():
+        for blk, _ in bundle.blocks:
+            splits.append(split_block.remote(blk))
+    return splits
+
+
+def reduce_refs(splits: list, num_buckets: int, reduce_fn, *,
+                extra_inputs: list | None = None) -> list:
+    """Wave 2: launch ``reduce_fn(bucket_id, table)`` once per bucket
+    id over the concatenated bucket slices and return the UN-GOTTEN
+    refs in bucket order. Empty buckets (and an empty split list) give
+    ``table=None``. ``extra_inputs`` optionally appends one more table
+    ref per bucket (e.g. a small side table computed downstream of
+    another exchange) — that bucket's reduce waits for it without any
+    driver-side synchronization."""
+    import ray
+
     @ray.remote
     def reduce_bucket(b, *tables):
         tabs = [x for x in tables if x is not None]
@@ -66,15 +87,32 @@ def bucket_exchange(ds, num_buckets: int, reduce_fn, *,
             else None
         return reduce_fn(b, t)
 
-    refs = []
-    for bundle in ds.iter_internal_ref_bundles():
-        refs.extend(blk for blk, _ in bundle.blocks)
-    if not refs:
+    if not splits and extra_inputs is None:
         return []
-    splits = [split_block.remote(r) for r in refs]
-    outs = [reduce_bucket.remote(b, *[s[b] for s in splits])
-            for b in range(num_buckets)]
-    return ray.get(outs)
+    out = []
+    for b in range(num_buckets):
+        ins = [s[b] for s in splits]
+        if extra_inputs is not None:
+            ins.append(extra_inputs[b])
+        out.append(reduce_bucket.remote(b, *ins))
+    return out
+
+
+def bucket_exchange(ds, num_buckets: int, reduce_fn, *,
+                    bucket_col: str = "_rb") -> list:
+    """Exchange ``ds`` (a Dataset whose blocks carry ``bucket_col``
+    dense ints in [0, num_buckets)) and run ``reduce_fn(bucket_id,
+    table)`` EXACTLY ONCE PER BUCKET ID on the concatenated bucket
+    rows (the bucket column is stripped; a bucket with no rows gets
+    ``table=None``). Returns the ray.get results in bucket order, or
+    ``[]`` for an empty input — keep results small (counts, paths,
+    partial tables)."""
+    import ray
+
+    splits = split_refs(ds, num_buckets, bucket_col=bucket_col)
+    if not splits:
+        return []
+    return ray.get(reduce_refs(splits, num_buckets, reduce_fn))
 
 
 def bucket_exchange_ds(ds, num_buckets: int, reduce_fn, *,
@@ -87,25 +125,9 @@ def bucket_exchange_ds(ds, num_buckets: int, reduce_fn, *,
     input has no blocks."""
     import ray
 
-    @ray.remote(num_returns=max(num_buckets, 2))
-    def split_block(t):
-        parts = _split_one(t, bucket_col, num_buckets)
-        return parts + (None,) * (max(num_buckets, 2) - num_buckets)
-
-    @ray.remote
-    def reduce_bucket(b, *tables):
-        tabs = [x for x in tables if x is not None]
-        t = pa.concat_tables(tabs, promote_options="default") if tabs \
-            else None
-        return reduce_fn(b, t)
-
-    refs = []
-    for bundle in ds.iter_internal_ref_bundles():
-        refs.extend(blk for blk, _ in bundle.blocks)
-    if not refs:
+    splits = split_refs(ds, num_buckets, bucket_col=bucket_col)
+    if not splits:
         schema = empty_schema or pa.schema([])
         return ray.data.from_arrow(schema.empty_table())
-    splits = [split_block.remote(r) for r in refs]
-    outs = [reduce_bucket.remote(b, *[s[b] for s in splits])
-            for b in range(num_buckets)]
-    return ray.data.from_arrow_refs(outs)
+    return ray.data.from_arrow_refs(
+        reduce_refs(splits, num_buckets, reduce_fn))

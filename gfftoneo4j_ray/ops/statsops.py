@@ -26,9 +26,10 @@ from .hashagg import append_bucket, hash_aggregate
 
 
 def _read(sf_dir: str, table: str, columns=None):
-    import ray
+    from .. import read_parquet_clean
 
-    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    # metadata-free schema at the source (see read_parquet_clean)
+    return read_parquet_clean(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
 def _cents(col, scale: int = 100) -> pa.Array:
