@@ -58,6 +58,21 @@ class KgConfig:
     sink_buckets: int | None = None
 
 
+def _split_pool(conc):
+    """Split one actor-pool size across the two concurrently-running
+    streaming partial stages (edges ~2/3, NIL nodes ~1/3) so their
+    pools don't oversubscribe the CPUs 2×. Accepts the int or
+    (min, max) tuple forms map_batches takes."""
+    def pair(n: int) -> tuple[int, int]:
+        e = max(1, round(n * 2 / 3))
+        return e, max(1, n - e)
+
+    if isinstance(conc, tuple):
+        lo, hi = conc
+        return (pair(lo)[0], pair(hi)[0]), (pair(lo)[1], pair(hi)[1])
+    return pair(conc)
+
+
 def _read_pages(pages_path: str, cfg: KgConfig):
     import ray
 
@@ -317,12 +332,19 @@ def run(pages_path: str, dict_path: str, out_root: str, *,
     if ckpt:
         edge_partials = canon_committed.map_batches(
             graph.emit_asserts_mentions_alias, batch_format="pyarrow")
+        edge_conc = nil_conc = cfg.canon_concurrency
     else:
+        # the edge and NIL-node partial pools run CONCURRENTLY in the
+        # streaming mode (two threads below) — split the configured
+        # pool between them so the two don't oversubscribe 2×; edges
+        # get the larger share (5 rows emitted per triple vs per-batch
+        # distinct surfaces)
+        edge_conc, nil_conc = _split_pool(cfg.canon_concurrency)
         edge_partials = linked_ds \
             .select_columns(["url", "subj", "obj", "pred"]) \
             .map_batches(graph.EmitEdgesPartial, batch_format="pyarrow",
                          batch_size=cfg.canon_batch_size,
-                         concurrency=cfg.canon_concurrency,
+                         concurrency=edge_conc,
                          fn_constructor_kwargs={"map_ref": map_ref})
     if cfg.emit_order_edges:
         order = graph.order_edges(page_meta).map_batches(
@@ -347,63 +369,18 @@ def run(pages_path: str, dict_path: str, out_root: str, *,
             return {"edges": n}
         ckpt.run_stage("edges", edges_stage, fingerprint)
         counts = graph.load_mention_counts(edges_dir)
-    else:
-        os.makedirs(out_root, exist_ok=True)
-        # clear stale parts: a rerun into the same out_root must not
-        # mix old and new rows
-        _shutil.rmtree(edges_dir, ignore_errors=True)
+        mark("edges sink")
 
-        # OVERLAP the two sinks: the expensive node-partial upstream
-        # (NIL actor pool + per-page sha1 ids) is independent of the
-        # edges sink — only the tiny entity-node table needs the edge
-        # exchange's mention counts. Run the edges sink in a thread
-        # while the node partials materialize, then union the (counts-
-        # gated, dictionary-bounded) entity nodes in for the final
-        # exchange. At low parallelism both saturate the CPUs anyway;
-        # at high parallelism this removes a serial phase boundary.
-        import threading
-
-        edges_result: dict = {}
-
-        def _edges_sink() -> None:
-            try:
-                _, c = graph.finalize_sort_write_edges(
-                    edge_partials, edges_dir, known_ids,
-                    num_buckets=sink_buckets,
-                    coalesce_blocks=sink_coalesce)
-                edges_result["counts"] = c
-            except BaseException as exc:  # re-raised on the main thread
-                edges_result["error"] = exc
-
-        th = threading.Thread(target=_edges_sink, name="edges-sink")
-        th.start()
-        nil_partials = linked_ds \
-            .select_columns(["subj", "subj_type", "obj", "obj_type"]) \
-            .map_batches(graph.NilNodePartials, batch_format="pyarrow",
-                         batch_size=cfg.canon_batch_size,
-                         concurrency=cfg.canon_concurrency,
-                         fn_constructor_kwargs={"map_ref": map_ref})
-        nodes_pre = graph.page_nodes(page_meta).union(nil_partials) \
-            .repartition(sink_coalesce).materialize()
-        th.join()
-        if "error" in edges_result:
-            raise edges_result["error"]
-        counts = edges_result["counts"]
-    mark("edges sink")
-
-    ent_nodes = ray.data.from_arrow(
-        graph.entity_nodes_from_mapping(mapping, counts, type_of))
-    # NIL partials flow straight into the sink exchange (dedup_key):
-    # no separate distinct exchange, and the whole nodes pipeline is
-    # one lazy pass ending in the range-sorted sink
-    if ckpt:
+        ent_nodes = ray.data.from_arrow(
+            graph.entity_nodes_from_mapping(mapping, counts, type_of))
+        # NIL partials flow straight into the sink exchange (dedup_key):
+        # no separate distinct exchange, and the whole nodes pipeline is
+        # one lazy pass ending in the range-sorted sink
         nil_partials = graph.nil_entity_node_partials(canon_committed,
                                                       known_ids)
         nodes_ds = ent_nodes.union(graph.page_nodes(page_meta)) \
             .union(nil_partials)
-    else:
-        nodes_ds = ent_nodes.union(nodes_pre)
-    if ckpt:
+
         def nodes_stage(tmp: str) -> dict:
             n = graph.range_sorted_write(nodes_ds, "node_id", ["node_id"],
                                          tmp, graph.NODES_SCHEMA,
@@ -413,16 +390,75 @@ def run(pages_path: str, dict_path: str, out_root: str, *,
                                          coalesce_blocks=sink_coalesce)
             return {"nodes": n}
         ckpt.run_stage("nodes", nodes_stage, fingerprint)
+        mark("nodes sink")
     else:
+        os.makedirs(out_root, exist_ok=True)
+        # clear stale parts: a rerun into the same out_root must not
+        # mix old and new rows
+        _shutil.rmtree(edges_dir, ignore_errors=True)
         _shutil.rmtree(nodes_dir, ignore_errors=True)
-        # nodes_pre is already coalesced+materialized (overlap above);
-        # a second repartition would only add a pass
-        graph.range_sorted_write(nodes_ds, "node_id", ["node_id"],
-                                 nodes_dir, graph.NODES_SCHEMA,
-                                 graph.encode_nodes_hex,
-                                 num_buckets=sink_buckets, dedup_key=True,
-                                 coalesce_blocks=None)
-    mark("nodes sink")
+
+        # FULLY OVERLAPPED sinks, no driver barrier between them:
+        # two threads stream the independent upstreams (edge partials;
+        # page+NIL node partials) and launch their exchange waves
+        # un-gotten; the dictionary-bounded entity/alias node table is
+        # built by ONE task downstream of the edge buckets' count
+        # partials and sliced per node bucket; each node bucket's final
+        # merge+write fires the moment its sorted partials and entity
+        # slice are ready. The only driver waits are the two upstream
+        # joins and the single final ray.get.
+        import threading
+
+        nil_partials = linked_ds \
+            .select_columns(["subj", "subj_type", "obj", "obj_type"]) \
+            .map_batches(graph.NilNodePartials, batch_format="pyarrow",
+                         batch_size=cfg.canon_batch_size,
+                         concurrency=nil_conc,
+                         fn_constructor_kwargs={"map_ref": map_ref})
+        node_partials = graph.page_nodes(page_meta).union(nil_partials)
+
+        boxes: dict[str, dict] = {"edges": {}, "nodes": {}}
+
+        def _launch(box: dict, fn) -> None:
+            try:
+                box["refs"] = fn()
+            except BaseException as exc:  # re-raised on the main thread
+                box["error"] = exc
+
+        th_e = threading.Thread(
+            target=_launch, name="edges-sink",
+            args=(boxes["edges"], lambda: graph.launch_finalize_edges(
+                edge_partials, edges_dir, known_ids,
+                num_buckets=sink_buckets, coalesce_blocks=sink_coalesce)))
+        th_n = threading.Thread(
+            target=_launch, name="nodes-split",
+            args=(boxes["nodes"], lambda: graph.launch_node_splits(
+                node_partials, sink_buckets,
+                coalesce_blocks=sink_coalesce)))
+        th_e.start()
+        th_n.start()
+        th_e.join()
+        th_n.join()
+        for box in boxes.values():
+            if "error" in box:
+                raise box["error"]
+        edge_refs = boxes["edges"]["refs"]
+        mark("sink upstreams")
+
+        n1 = graph.launch_sorted_node_tables(boxes["nodes"]["refs"],
+                                             sink_buckets)
+        ent = graph.launch_entity_node_slices(map_ref, type_of,
+                                              edge_refs, sink_buckets)
+        writes = graph.launch_merge_write_nodes(n1, ent, nodes_dir,
+                                                sink_buckets)
+        side = graph.launch_counts_side_file(edges_dir, edge_refs)
+        ray.get(writes + [side])
+        for d, schema in ((edges_dir, graph.EDGES_SCHEMA),
+                          (nodes_dir, graph.NODES_SCHEMA)):
+            if not any(f.endswith(".parquet") and not f.startswith("_")
+                       for f in os.listdir(d)):
+                graph.write_empty_parts(d, schema)
+        mark("graph sinks")
 
     return {
         "out_root": out_root,

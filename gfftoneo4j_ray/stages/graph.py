@@ -508,24 +508,51 @@ def _first_byte(arr) -> "np.ndarray":
     return np.concatenate(outs)
 
 
-def _append_range_bucket(t: pa.Table, key: str, num_buckets: int) -> pa.Table:
+def _first_bytes_u16(arr) -> "np.ndarray":
+    """First TWO bytes of each value of a (chunked) fixed_size_binary
+    column as big-endian uint16, zero-copy off the Arrow data buffer —
+    the 2-byte range-partition prefix (supports up to 65536 buckets)."""
     import numpy as np
 
-    assert num_buckets in (1, 2, 4, 8, 16, 32, 64, 128, 256)
-    shift = 8 - (num_buckets.bit_length() - 1)
-    rb = (_first_byte(t[key]) >> shift).astype(np.int32)
+    chunks = arr.chunks if isinstance(arr, pa.ChunkedArray) else [arr]
+    outs = []
+    for c in chunks:
+        if len(c) == 0:
+            continue
+        w = c.type.byte_width
+        buf = np.frombuffer(c.buffers()[1], dtype=np.uint8)
+        o = c.offset * w
+        two = buf[o:o + len(c) * w].reshape(-1, w)[:, :2].astype(np.uint16)
+        outs.append((two[:, 0] << 8) | two[:, 1])
+    if not outs:
+        return np.empty(0, dtype=np.uint16)
+    return np.concatenate(outs)
+
+
+def _append_range_bucket(t: pa.Table, key: str, num_buckets: int) -> pa.Table:
+    """Dense range-bucket ids off the first 2 bytes of the sha1 key
+    (uniform over the keyspace): rb = u16_prefix >> (16 - log2 B).
+    For B ≤ 256 this equals the 1-byte form bit-for-bit; up to 65536
+    buckets are supported for cluster-scale sinks."""
+    import numpy as np
+
+    assert num_buckets & (num_buckets - 1) == 0 and \
+        1 <= num_buckets <= 65536, num_buckets
+    shift = 16 - (num_buckets.bit_length() - 1)
+    rb = (_first_bytes_u16(t[key]) >> shift).astype(np.int32)
     return t.replace_schema_metadata(None).append_column(
         "_rb", pa.array(rb, pa.int32()))
 
 
 def _write_part(t: pa.Table, out_dir: str, rb: int) -> None:
     """Atomic per-bucket part write (tmp + rename; deterministic
-    content makes task retries idempotent)."""
+    content makes task retries idempotent). 5-digit part numbers keep
+    filename order == bucket order past 1000 buckets."""
     import os
 
     import pyarrow.parquet as pq
 
-    path = os.path.join(out_dir, f"part-{rb:03d}.parquet")
+    path = os.path.join(out_dir, f"part-{rb:05d}.parquet")
     tmp = path + ".tmp"
     pq.write_table(t, tmp, compression="zstd")
     os.replace(tmp, path)
@@ -549,19 +576,35 @@ def sink_geometry(num_buckets: int | None = None,
     row volume — dominates the sink when that product explodes
     (measured on 3.3M edge partials: 192 blocks × 128 buckets = 165 s;
     32 blocks × 64 buckets = 4–11 s, identical output). Defaults:
-    buckets = next pow2 of 2×CPU (clamped [16, 256]; 256 is the 1-byte
-    prefix ceiling — extend _append_range_bucket to 2 bytes beyond),
-    coalesce = 2×CPU (at real-cluster scale raise both with node count
-    so blocks stay near the object-store target block size)."""
+    buckets = next pow2 of 2×CPU (clamped [16, 1024] here; the 2-byte
+    range prefix in _append_range_bucket supports up to 65536 — pass
+    cfg.sink_buckets explicitly on a cluster that size), coalesce =
+    2×CPU (at real-cluster scale raise both with node count so blocks
+    stay near the object-store target block size)."""
     import ray
 
     cpus = int(ray.cluster_resources().get("CPU", 32)) or 32
     if num_buckets is None:
-        v = max(16, min(2 * cpus, 256))
-        num_buckets = 1 << (v - 1).bit_length()   # round up to pow2 ≤ 256
+        v = max(16, min(2 * cpus, 1024))
+        num_buckets = 1 << (v - 1).bit_length()   # round up to pow2
     if coalesce_blocks is None:
         coalesce_blocks = max(2 * cpus, 16)
     return num_buckets, coalesce_blocks
+
+
+def _sort_dedup(t: pa.Table, order: list, dedup_key: str | None) -> pa.Table:
+    """In-bucket sort (+ optional first-row-per-key dedup — valid only
+    under the bit-identical-duplicates contract, see
+    range_sorted_write)."""
+    import numpy as np
+
+    t = t.sort_by(order)
+    if dedup_key and t.num_rows > 1:
+        ids = np.array(t[dedup_key].to_pylist(), dtype=object)
+        keep = np.r_[True, ids[1:] != ids[:-1]]
+        if not keep.all():
+            t = t.filter(pa.array(keep, pa.bool_()))
+    return t
 
 
 def range_sorted_write(ds, key: str, sort_keys: list, out_dir: str,
@@ -596,12 +639,7 @@ def range_sorted_write(ds, key: str, sort_keys: list, out_dir: str,
     def write_group(rb: int, t: pa.Table | None) -> int:
         if t is None or t.num_rows == 0:
             return 0
-        t = t.sort_by(order)
-        if dedup_key and t.num_rows > 1:
-            ids = np.array(t[key].to_pylist(), dtype=object)
-            keep = np.r_[True, ids[1:] != ids[:-1]]
-            if not keep.all():
-                t = t.filter(pa.array(keep, pa.bool_()))
+        t = _sort_dedup(t, order, key if dedup_key else None)
         _write_part(encode_fn(t), out_dir, rb)
         return t.num_rows
 
@@ -617,30 +655,123 @@ def range_sorted_write(ds, key: str, sort_keys: list, out_dir: str,
     return n
 
 
+# ---------------------------------------------------------------------------
+# Overlapped node sink (streaming mode) — three composed task waves, no
+# driver barrier anywhere between the edge and node sinks:
+#   S  — split node-partial blocks by range bucket (launch_node_splits;
+#        runs while the edge sink's upstream streams in its own thread)
+#   N1 — per-bucket sort + dedup of the partials (launch_sorted_node_
+#        tables; overlaps the edge bucket sort/write wave)
+#   N2 — merge each bucket's entity/alias slice (computed by ONE task
+#        downstream of the edge counts) into the sorted partials and
+#        write the final part (launch_merge_write_nodes). Ray releases
+#        bucket b's N2 the moment its N1 table and entity slice are
+#        both ready.
+# ---------------------------------------------------------------------------
+
+def launch_node_splits(node_partials_ds, num_buckets: int,
+                       coalesce_blocks: int | None = None) -> list:
+    """Wave S: range-bucket the node partials on node_id and launch the
+    split tasks; blocks while the upstream streams (thread it)."""
+    from ..ops.exchange import split_refs
+
+    if coalesce_blocks:
+        node_partials_ds = node_partials_ds.repartition(coalesce_blocks)
+    bucketed = node_partials_ds.map_batches(
+        lambda t: _append_range_bucket(t, "node_id", num_buckets),
+        batch_format="pyarrow")
+    return split_refs(bucketed, num_buckets)
+
+
+def launch_sorted_node_tables(splits: list, num_buckets: int) -> list:
+    """Wave N1: per-bucket sort + first-per-key dedup, tables kept in
+    the object store (refs; None for empty buckets)."""
+    from ..ops.exchange import reduce_refs
+
+    def sort_dedup(rb: int, t: pa.Table | None):
+        if t is None or t.num_rows == 0:
+            return None
+        return _sort_dedup(t, [("node_id", "ascending")], "node_id")
+
+    return reduce_refs(splits, num_buckets, sort_dedup)
+
+
+def launch_entity_node_slices(map_ref, type_of: dict, count_refs: list,
+                              num_buckets: int) -> list:
+    """ONE task, downstream of the edge sink's mention-count partials:
+    build the (dictionary-bounded) entity+alias node table and cut it
+    into per-range-bucket slices (num_returns=num_buckets). The node
+    sink's merge wave consumes the slice refs — entity rows flow into
+    their buckets without the counts ever crossing the driver."""
+    import ray
+
+    from ..ops.exchange import _split_one
+
+    nret = max(num_buckets, 2)
+
+    @ray.remote(num_returns=nret)
+    def build(mapping, type_of_, *count_tables):
+        counts = _merge_count_partials(count_tables)
+        t = entity_nodes_from_mapping(mapping, counts, type_of_)
+        t = _append_range_bucket(t, "node_id", num_buckets)
+        parts = _split_one(t, "_rb", num_buckets)
+        return parts + (None,) * (nret - num_buckets)
+
+    refs = build.remote(map_ref, type_of, *count_refs)
+    return list(refs[:num_buckets])
+
+
+def launch_merge_write_nodes(n1_refs: list, ent_refs: list, out_dir: str,
+                             num_buckets: int) -> list:
+    """Wave N2: per bucket, merge the sorted partials with the entity
+    slice (key spaces are disjoint by construction — entity/alias ids
+    never collide with page/NIL ids), final sort + dedup + hex encode +
+    atomic part write. Returns per-bucket write refs (rows written)."""
+    import os
+
+    import ray
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    @ray.remote
+    def merge_write(rb: int, t1, te) -> int:
+        tabs = [x for x in (t1, te)
+                if x is not None and x.num_rows > 0]
+        if not tabs:
+            return 0
+        t = pa.concat_tables(tabs, promote_options="default")
+        t = _sort_dedup(t, [("node_id", "ascending")], "node_id")
+        _write_part(encode_nodes_hex(t), out_dir, rb)
+        return t.num_rows
+
+    n1 = n1_refs if n1_refs else [None] * num_buckets
+    return [merge_write.remote(b, n1[b], ent_refs[b])
+            for b in range(num_buckets)]
+
+
 _COUNTS_SIDE_FILE = "_mention_counts.parquet"  # '_' prefix: ignored by
 # parquet dataset discovery (pyarrow ignore_prefixes default), so edge
 # readers never see it
 
 
-def finalize_sort_write_edges(edge_partials_ds, out_dir: str,
-                              known_ids_hex: set,
-                              num_buckets: int = 64,
-                              coalesce_blocks: int | None = None
-                              ) -> tuple[int, dict]:
-    """Fused edge sink: partial edge rows → per-range-bucket exact
-    dedup (D1) + sort + sorted-part write + mention-count partials, in
-    ONE exchange and one pass (replaces finalize_edges.materialize() +
-    mention_counts_from_edges + sort + write — three extra passes of
-    the full edge table).
+_EDGE_COUNTS_SCHEMA = pa.schema([("dst", pa.binary(20)), ("n", pa.int64())])
 
-    Returns (n_edges, {entity node_id hex: mention count}) and leaves
-    the counts beside the parts as ``_mention_counts.parquet`` so a
-    checkpoint resume can reload them without re-aggregating."""
+
+def launch_finalize_edges(edge_partials_ds, out_dir: str,
+                          known_ids_hex: set, num_buckets: int = 64,
+                          coalesce_blocks: int | None = None) -> list:
+    """Fused edge sink, NON-BLOCKING: partial edge rows →
+    per-range-bucket exact dedup (D1) + sort + sorted-part write +
+    mention-count partials, in ONE exchange and one pass. Returns the
+    UN-GOTTEN per-bucket reduce refs (each resolves to its bucket's
+    mention-count partial table) so downstream work — the node sink's
+    entity-slice task, the counts side file — composes on the refs
+    and overlaps the writes; the calling thread still blocks while the
+    upstream Dataset streams (run in a worker thread to overlap two
+    sinks' upstreams)."""
     import os
 
-    import numpy as np
     import pyarrow.compute as pc
-    import pyarrow.parquet as pq
 
     os.makedirs(out_dir, exist_ok=True)
     if coalesce_blocks:
@@ -652,11 +783,10 @@ def finalize_sort_write_edges(edge_partials_ds, out_dir: str,
     known_arr = pa.array(sorted(bytes.fromhex(k) for k in known_ids_hex),
                          pa.binary(20))
     order = [(k, "ascending") for k in ("src", "type", "dst", "pred")]
-    COUNTS_SCHEMA = pa.schema([("dst", pa.binary(20)), ("n", pa.int64())])
 
     def write_group(rb: int, t: pa.Table | None) -> pa.Table:
         if t is None or t.num_rows == 0:
-            return COUNTS_SCHEMA.empty_table()
+            return _EDGE_COUNTS_SCHEMA.empty_table()
         t = t.group_by(["src", "dst", "type", "pred"]).aggregate([("w", "sum")])
         expected = ["src", "dst", "type", "pred", "w_sum"]
         if t.column_names != expected:   # see ops/hashagg._checked_rename
@@ -670,30 +800,81 @@ def finalize_sort_write_edges(edge_partials_ds, out_dir: str,
                     pc.is_in(t["dst"], value_set=known_arr))
         cm = t.filter(m).group_by("dst").aggregate([("weight", "sum")])
         if cm.num_rows == 0:
-            return COUNTS_SCHEMA.empty_table()
-        return cm.rename_columns(["dst", "n"]).cast(COUNTS_SCHEMA)
+            return _EDGE_COUNTS_SCHEMA.empty_table()
+        return cm.rename_columns(["dst", "n"]).cast(_EDGE_COUNTS_SCHEMA)
 
-    from ..ops.exchange import bucket_exchange
+    from ..ops.exchange import reduce_refs, split_refs
 
     bucketed = edge_partials_ds.map_batches(
         lambda t: _append_range_bucket(t, "src", num_buckets),
         batch_format="pyarrow")
-    partials = bucket_exchange(bucketed, num_buckets, write_group)
+    return reduce_refs(split_refs(bucketed, num_buckets), num_buckets,
+                       write_group)
 
+
+def _merge_count_partials(partials) -> dict:
     counts: dict[str, int] = {}
     for ct in partials:
+        if ct is None:
+            continue
         for d, nn in zip(ct["dst"].to_pylist(), ct["n"].to_pylist()):
             counts[d.hex()] = counts.get(d.hex(), 0) + int(nn)
+    return counts
+
+
+def _counts_side_table(counts: dict) -> pa.Table:
+    return pa.table({"node_id": pa.array(sorted(counts), pa.string()),
+                     "n": pa.array([counts[k] for k in sorted(counts)],
+                                   pa.int64())})
+
+
+def launch_counts_side_file(out_dir: str, count_refs: list):
+    """One small task that merges the per-bucket mention-count partials
+    and writes ``_mention_counts.parquet`` beside the parts (atomic) —
+    scheduled by Ray as soon as the last edge bucket lands, with no
+    driver barrier. Returns a ref resolving to the counts dict."""
+    import ray
+
+    @ray.remote
+    def write_side(*partials) -> dict:
+        import os as _os
+
+        import pyarrow.parquet as _pq
+
+        counts = _merge_count_partials(partials)
+        path = _os.path.join(out_dir, _COUNTS_SIDE_FILE)
+        _pq.write_table(_counts_side_table(counts), path + ".tmp")
+        _os.replace(path + ".tmp", path)
+        return counts
+
+    return write_side.remote(*count_refs)
+
+
+def finalize_sort_write_edges(edge_partials_ds, out_dir: str,
+                              known_ids_hex: set,
+                              num_buckets: int = 64,
+                              coalesce_blocks: int | None = None
+                              ) -> tuple[int, dict]:
+    """Blocking form of ``launch_finalize_edges`` (the checkpointed
+    path's stage boundary): runs the fused exchange, merges the count
+    partials on the driver, writes the counts side file and the
+    empty-part fallback. Returns (n_edges, {node_id hex: count})."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray
+
+    refs = launch_finalize_edges(edge_partials_ds, out_dir, known_ids_hex,
+                                 num_buckets=num_buckets,
+                                 coalesce_blocks=coalesce_blocks)
+    counts = _merge_count_partials(ray.get(refs) if refs else [])
 
     n = _count_part_rows(out_dir)
     if n == 0 and not any(f.endswith(".parquet") and not f.startswith("_")
                           for f in os.listdir(out_dir)):
         write_empty_parts(out_dir, EDGES_SCHEMA)
-    pq.write_table(
-        pa.table({"node_id": pa.array(sorted(counts), pa.string()),
-                  "n": pa.array([counts[k] for k in sorted(counts)],
-                                pa.int64())}),
-        os.path.join(out_dir, _COUNTS_SIDE_FILE))
+    pq.write_table(_counts_side_table(counts),
+                   os.path.join(out_dir, _COUNTS_SIDE_FILE))
     return n, counts
 
 
