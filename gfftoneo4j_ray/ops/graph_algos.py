@@ -59,6 +59,11 @@ def hex_prefix_int64(col) -> pa.Array:
     data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
     rows = data[offsets[0]:offsets[-1]].reshape(n, 40)[:, :16]
     nib = (rows - 48 - (rows >= 97) * np.uint8(39)).astype(np.uint64)
+    # charset guard: uppercase / non-hex bytes would yield nibbles > 15
+    # and silently corrupt the packed value's ORDER (the downstream
+    # collision guard only catches duplicate prefixes, not misordering)
+    if not (nib <= 15).all():
+        raise ValueError("node ids must be LOWERCASE 40-char hex strings")
     v = np.zeros(n, dtype=np.uint64)
     for i in range(16):
         v = (v << np.uint64(4)) | nib[:, i]

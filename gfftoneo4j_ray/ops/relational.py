@@ -217,35 +217,73 @@ def q_distinct(sf_dir: str):
 # T: joins (broadcast small side, §2.3 T2)
 # ---------------------------------------------------------------------------
 
-def q_join_enrich(sf_dir: str):
-    """Dimension enrichment without a shuffle join: customer+nation are
-    broadcast (ray.put once), looked up per batch; only the final small
-    per-nation aggregate shuffles. Semantically orders ⋈ customer ⋈
-    nation → revenue per nation."""
+#: rows at which a "dimension" side stops being broadcastable and must
+#: route through the shuffle hash join instead. customer GROWS with
+#: scale factor (it is a semi-dimension, unlike nation's fixed 25 rows)
+#: — a driver `.to_pandas()` of it would be a scale bug past this bound
+#: (VERDICT r2 item 5). ~2M keys ≈ 32 MB of int64 pairs per worker.
+BROADCAST_BUDGET_ROWS = 2_000_000
+
+
+def q_join_enrich(sf_dir: str,
+                  broadcast_budget_rows: int = BROADCAST_BUDGET_ROWS):
+    """Dimension enrichment, mixed strategy: when customer fits the
+    broadcast budget it is shipped once (ray.put) and looked up per
+    batch so only the final small per-nation aggregate shuffles; above
+    the budget, orders ⋈ customer routes through the distributed
+    shuffle hash join and only nation (fixed 25 rows) is broadcast.
+    Semantically orders ⋈ customer ⋈ nation → revenue per nation."""
     import ray
 
     from .hashagg import hash_aggregate
 
-    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
     nat = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
-    c2n = dict(zip(cust["c_custkey"],
-                   cust["c_nationkey"].map(
-                       dict(zip(nat["n_nationkey"], nat["n_name"])))))
-    ref = ray.put(c2n)
-
-    def enrich(t: pa.Table, _ref=ref) -> pa.Table:
-        import ray as _r
-        c2n_local = _r.get(_ref)
-        names = [c2n_local.get(k) for k in t["o_custkey"].to_pylist()]
-        out = pa.table({
-            "n_name": pa.array(names, pa.string()),
-            "o_totalprice": t["o_totalprice"],
-        })
-        g = out.group_by("n_name").aggregate([("o_totalprice", "sum")])
-        return g.rename_columns(["n_name", "price_sum"])
-
+    n2name = dict(zip(nat["n_nationkey"], nat["n_name"]))
+    cust_ds = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
-    partials = orders.map_batches(enrich, batch_format="pyarrow")
+
+    if cust_ds.count() <= broadcast_budget_rows:
+        cust = cust_ds.to_pandas()
+        c2n = dict(zip(cust["c_custkey"], cust["c_nationkey"].map(n2name)))
+        ref = ray.put(c2n)
+
+        def enrich(t: pa.Table, _ref=ref) -> pa.Table:
+            import ray as _r
+            c2n_local = _r.get(_ref)
+            names = [c2n_local.get(k) for k in t["o_custkey"].to_pylist()]
+            out = pa.table({
+                "n_name": pa.array(names, pa.string()),
+                "o_totalprice": t["o_totalprice"],
+            })
+            g = out.group_by("n_name").aggregate([("o_totalprice", "sum")])
+            return g.rename_columns(["n_name", "price_sum"])
+
+        partials = orders.map_batches(enrich, batch_format="pyarrow")
+    else:
+        from .join import hash_join
+
+        joined = hash_join(
+            orders, cust_ds, on="o_custkey", right_on="c_custkey",
+            how="inner", num_buckets=32,
+            left_schema=pa.schema([("o_custkey", pa.int64()),
+                                   ("o_totalprice", pa.float64())]),
+            right_schema=pa.schema([("c_custkey", pa.int64()),
+                                    ("c_nationkey", pa.int64())]))
+        nref = ray.put(n2name)
+
+        def name_partials(t: pa.Table, _ref=nref) -> pa.Table:
+            import ray as _r
+            n2n = _r.get(_ref)
+            names = [n2n.get(k) for k in t["c_nationkey"].to_pylist()]
+            out = pa.table({
+                "n_name": pa.array(names, pa.string()),
+                "o_totalprice": t["o_totalprice"],
+            })
+            g = out.group_by("n_name").aggregate([("o_totalprice", "sum")])
+            return g.rename_columns(["n_name", "price_sum"])
+
+        partials = joined.map_batches(name_partials, batch_format="pyarrow")
+
     agg = hash_aggregate(partials, "n_name",
                          [("price_sum", "sum", "total_raw")], num_buckets=8)
 
@@ -393,30 +431,48 @@ def q_hopping_window(sf_dir: str):
     return agg.map_batches(finalize, batch_format="pyarrow")
 
 
-def q_semi_join(sf_dir: str):
-    """Semi-join, mixed strategy: customer is dimension-sized so its
-    BUILDING key set is broadcast (ray.put once, map-side is_in filter
-    on orders); lineitem ⋉ filtered-orders is fact×fact and runs
-    through the distributed shuffle hash join — orders never touches
-    the driver."""
+def q_semi_join(sf_dir: str,
+                broadcast_budget_rows: int = BROADCAST_BUDGET_ROWS):
+    """Semi-join, mixed strategy: when customer fits the broadcast
+    budget its BUILDING key set is broadcast (ray.put once, map-side
+    is_in filter on orders); above the budget orders ⋉ customer routes
+    through the distributed shuffle hash join instead (customer never
+    touches the driver). lineitem ⋉ filtered-orders is fact×fact and
+    always runs through the shuffle join."""
     import ray
 
-    cust = _read(sf_dir, "customer",
-                 columns=["c_custkey", "c_mktsegment"]).to_pandas()
-    keys = pa.array(sorted(cust.loc[cust["c_mktsegment"] == "BUILDING",
-                                    "c_custkey"]), pa.int64())
-    ref = ray.put(keys)
-
-    def building_orders(t: pa.Table, _r=ref) -> pa.Table:
-        import ray as _ray
-        ks = _ray.get(_r)
-        return t.filter(pc.is_in(t["o_custkey"], value_set=ks)) \
-            .select(["o_orderkey"])
-
-    orders_f = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]) \
-        .map_batches(building_orders, batch_format="pyarrow")
-
     from .join import hash_join
+
+    cust_ds = _read(sf_dir, "customer",
+                    columns=["c_custkey", "c_mktsegment"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+
+    if cust_ds.count() <= broadcast_budget_rows:
+        cust = cust_ds.to_pandas()
+        keys = pa.array(sorted(cust.loc[cust["c_mktsegment"] == "BUILDING",
+                                        "c_custkey"]), pa.int64())
+        ref = ray.put(keys)
+
+        def building_orders(t: pa.Table, _r=ref) -> pa.Table:
+            import ray as _ray
+            ks = _ray.get(_r)
+            return t.filter(pc.is_in(t["o_custkey"], value_set=ks)) \
+                .select(["o_orderkey"])
+
+        orders_f = orders.map_batches(building_orders, batch_format="pyarrow")
+    else:
+        def building_cust(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t["c_mktsegment"], "BUILDING")) \
+                .select(["c_custkey"])
+
+        bc = cust_ds.map_batches(building_cust, batch_format="pyarrow")
+        orders_f = hash_join(
+            orders, bc, on="o_custkey", right_on="c_custkey", how="semi",
+            num_buckets=32,
+            left_schema=pa.schema([("o_orderkey", pa.int64()),
+                                   ("o_custkey", pa.int64())]),
+            right_schema=pa.schema([("c_custkey", pa.int64())])) \
+            .select_columns(["o_orderkey"])
 
     li = _read(sf_dir, "lineitem",
                columns=["l_orderkey", "l_linenumber", "l_quantity"])

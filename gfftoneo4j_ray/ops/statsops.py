@@ -51,7 +51,10 @@ def q_pivot(sf_dir: str):
     ds = _read(sf_dir, "events", columns=["ts", "event_type"])
 
     def partial(t: pa.Table) -> pa.Table:
-        day = pc.divide(pc.cast(t["ts"], pa.int64()), 86400000000)
+        # floor division (np.floor_divide == DuckDB's //), NOT pyarrow's
+        # truncating divide — the two diverge for pre-1970 timestamps
+        ts = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        day = pa.array(np.floor_divide(ts, 86400000000), pa.int64())
         cols = {"day_id": day}
         for et in EVENT_TYPES:
             cols[f"n_{et}"] = pc.cast(pc.equal(t["event_type"], et),
@@ -83,10 +86,14 @@ def q_grouping_sets(sf_dir: str):
             "qty_c": _cents(t["l_quantity"]),
         })
 
+    # materialize the (≤ |flag|×|status|-row) finest level ONCE: it is
+    # consumed three times (itself + mid + top) and would otherwise
+    # re-run the full fact scan per consumer
     fine = hash_aggregate(ds.map_batches(derive, batch_format="pyarrow"),
                           ["l_returnflag", "l_linestatus"],
                           [("qty_c", "sum", "sum_qty_c"),
-                           ("qty_c", "count", "n_rows")], num_buckets=4)
+                           ("qty_c", "count", "n_rows")],
+                          num_buckets=4).materialize()
     mid = hash_aggregate(fine, "l_returnflag",
                          [("sum_qty_c", "sum", "sum_qty_c"),
                           ("n_rows", "sum", "n_rows")], num_buckets=1)

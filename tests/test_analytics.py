@@ -125,6 +125,19 @@ def test_hex_prefix_int64_order_and_value():
         pa.array(["f" * 40] + ids).slice(1)).to_pylist() == out
 
 
+def test_hex_prefix_int64_rejects_bad_charset():
+    """Uppercase/non-hex bytes would produce nibbles > 15 and silently
+    corrupt the packed value's ORDER — must raise, not misorder."""
+    from gfftoneo4j_ray.ops.graph_algos import hex_prefix_int64
+
+    ok = "ab" * 20
+    for bad in ["AB" + "ab" * 19, "zz" + "ab" * 19, "a-" + "ab" * 19]:
+        with pytest.raises(ValueError, match="hex"):
+            hex_prefix_int64(pa.array([ok, bad]))
+    assert hex_prefix_int64(pa.array([ok])).to_pylist() == [
+        int(ok[:16], 16) - (1 << 63)]
+
+
 def _hexid(i: int) -> str:
     """Realistic (hash-distributed) 40-hex node id, like the KG's
     content-hash ids — components_hex documents that structured ids

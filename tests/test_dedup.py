@@ -102,6 +102,22 @@ def test_ngram_jaccard_pairs_matches_direct(planted_docs):
     assert got[(0, 2)] == int(np.floor(want * 10000 + 0.5))
 
 
+def test_ngram_jaccard_max_df_drops_stopword_tokens(planted_docs):
+    """max_df bounds per-token pair explosion: with max_df=1 no token
+    co-occurs, so no pair survives; with a generous cap results equal
+    the exact path (the bucketed kernel sees each token's full doc
+    list, so the df filter is globally correct, not per-batch)."""
+    exact = dedup.ngram_jaccard_pairs(planted_docs, max_doc_id=8) \
+        .to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    capped = dedup.ngram_jaccard_pairs(planted_docs, max_doc_id=8,
+                                       max_df=10_000) \
+        .to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    assert exact.equals(capped)
+    none = dedup.ngram_jaccard_pairs(planted_docs, max_doc_id=8, max_df=1) \
+        .to_pandas()
+    assert len(none) == 0
+
+
 def test_embedding_neardup(ray_session):
     import ray
 
