@@ -149,6 +149,15 @@ def run_bench() -> dict:
         from gfftoneo4j_ray.stages import (canonicalize, extract_text,
                                            linker, triples)
 
+        # the extractor and linker pools run CONCURRENTLY in ONE
+        # streaming pipeline here — two fixed pools of `pool` each can
+        # reserve every CPU before the ReadParquet task that feeds them
+        # is placed (measured: a 23-min 0-progress deadlock at 4 cpus,
+        # 2+2 actors holding 4/4 CPUs, read pending). Split the budget
+        # and always leave ≥1 cpu for read/shuffle tasks.
+        ext_pool = max(1, (NUM_CPUS - 1) // 2)
+        link_pool = max(1, NUM_CPUS - 1 - ext_pool)
+
         dict_ref = _ray.put(_pq.read_table(dict_path))
         t0 = time.perf_counter()
         pages_ds = _ray.data.read_parquet(
@@ -156,8 +165,8 @@ def run_bench() -> dict:
             override_num_blocks=max(256, 8 * NUM_CPUS))
         text_ds = extract_text.clean_view(extract_text.apply(pages_ds))
         linked = linker.apply(
-            triples.apply(text_ds, concurrency=pool), dict_ref=dict_ref,
-            concurrency=pool).repartition(128).materialize()
+            triples.apply(text_ds, concurrency=ext_pool), dict_ref=dict_ref,
+            concurrency=link_pool).repartition(128).materialize()
         mapping = canonicalize.build_canonical_mapping(linked)
         n_triples = canonicalize.apply(linked, mapping,
                                        concurrency=pool).count()
