@@ -58,6 +58,13 @@ def split_refs(ds, num_buckets: int, *, bucket_col: str = "_rb") -> list:
 
     @ray.remote(num_returns=max(num_buckets, 2))
     def split_block(t):
+        if bucket_col not in t.column_names:
+            # Dataset unions can emit empty sentinel blocks with a
+            # zero-column schema that bypass the upstream map_batches —
+            # they carry no rows, so they bucket to nothing
+            if t.num_rows == 0:
+                return (None,) * max(num_buckets, 2)
+            raise KeyError(f"block missing bucket column {bucket_col!r}")
         parts = _split_one(t, bucket_col, num_buckets)
         # pad to ≥2 returns (ray num_returns≥2 contract kept uniform)
         return parts + (None,) * (max(num_buckets, 2) - num_buckets)

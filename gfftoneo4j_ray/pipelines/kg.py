@@ -58,21 +58,6 @@ class KgConfig:
     sink_buckets: int | None = None
 
 
-def _split_pool(conc):
-    """Split one actor-pool size across the two concurrently-running
-    streaming partial stages (edges ~2/3, NIL nodes ~1/3) so their
-    pools don't oversubscribe the CPUs 2×. Accepts the int or
-    (min, max) tuple forms map_batches takes."""
-    def pair(n: int) -> tuple[int, int]:
-        e = max(1, round(n * 2 / 3))
-        return e, max(1, n - e)
-
-    if isinstance(conc, tuple):
-        lo, hi = conc
-        return (pair(lo)[0], pair(hi)[0]), (pair(lo)[1], pair(hi)[1])
-    return pair(conc)
-
-
 def _read_pages(pages_path: str, cfg: KgConfig):
     import ray
 
@@ -233,9 +218,14 @@ def run(pages_path: str, dict_path: str, out_root: str, *,
             ckpt.write_lineage("text_mismatch", mism)
         text_ds = extract_text.clean_view(extracted_ds)
     else:
-        # three consumers downstream (triples, page nodes, order edges) —
+        # two consumers downstream (fused triples+link, page metadata) —
         # pin the extracted corpus once (object store spills if needed);
-        # the checkpointed mode is the disk-backed equivalent at scale
+        # the checkpointed mode is the disk-backed equivalent at scale.
+        # (Fusing extraction into the link pool and shipping page rows
+        # as a tagged union was measured SLOWER at 3.2M pages / 16
+        # cpus — 39 s vs 32-35 s — because every union consumer then
+        # re-scans the interleaved page rows; the separate task-
+        # parallel text pass stays.)
         text_ds = extract_text.clean_view(
             extract_text.apply(pages,
                                batch_size=cfg.extract_batch_size)).materialize()
@@ -258,10 +248,8 @@ def run(pages_path: str, dict_path: str, out_root: str, *,
     if ckpt:
         triples_ds = ckpt.run_stage("triples", triples_stage, fingerprint)
     else:
-        triples_ds = triples.apply(text_ds, concurrency=cfg.triples_concurrency,
-                                   batch_size=cfg.triples_batch_size,
-                                   lang=cfg.lang,
-                                   extractor_cls=cfg.extractor_cls)
+        triples_ds = None   # streaming fuses triple extraction into the
+        # link pool (apply_fused below)
 
     # ---- stage: linked ----------------------------------------------------
     def linked_stage(tmp: str) -> dict:
@@ -276,8 +264,8 @@ def run(pages_path: str, dict_path: str, out_root: str, *,
     else:
         # streaming: ONE fused extract+link actor pool (checkpointed
         # mode keeps the stages separate for resume granularity).
-        # Materialize once — consumed twice (mapping + canon); coalesce
-        # because actor pools emit one small block per batch
+        # Materialize once — consumed twice (mapping + sink pass);
+        # coalesce because actor pools emit one small block per batch
         linked_ds = linker.apply_fused(
             text_ds, dict_ref=dict_ref, lang=cfg.lang,
             concurrency=cfg.link_concurrency,
@@ -300,13 +288,12 @@ def run(pages_path: str, dict_path: str, out_root: str, *,
             return {"canonical_entities": len({v[1] for v in mapping.values()})}
         canon_committed = ckpt.run_stage("canonical", canon_stage, fingerprint)
     else:
-        # streaming: NO materialized canonical table at all — the edge
-        # and nil-node sink pipelines fuse the mapping lookup into
-        # their own slim actor kernels (graph.EmitEdgesPartial /
-        # NilNodePartials) over column-pruned views of the pinned
-        # linked table, overlapping the tagging with the sink
-        # exchange+write. The checkpointed mode keeps the committed
-        # full-width canonical stage for resume granularity.
+        # streaming: NO materialized canonical table at all — ONE
+        # merged sink pass (graph.EmitGraphPartials) fuses the mapping
+        # lookup into a slim actor kernel over a column-pruned view of
+        # the pinned linked table, overlapping the tagging with the
+        # sink exchange+write. The checkpointed mode keeps the
+        # committed full-width canonical stage for resume granularity.
         canon_committed = None
 
     mark("canon")
@@ -332,25 +319,12 @@ def run(pages_path: str, dict_path: str, out_root: str, *,
     if ckpt:
         edge_partials = canon_committed.map_batches(
             graph.emit_asserts_mentions_alias, batch_format="pyarrow")
-        edge_conc = nil_conc = cfg.canon_concurrency
-    else:
-        # the edge and NIL-node partial pools run CONCURRENTLY in the
-        # streaming mode (two threads below) — split the configured
-        # pool between them so the two don't oversubscribe 2×; edges
-        # get the larger share (5 rows emitted per triple vs per-batch
-        # distinct surfaces)
-        edge_conc, nil_conc = _split_pool(cfg.canon_concurrency)
-        edge_partials = linked_ds \
-            .select_columns(["url", "subj", "obj", "pred"]) \
-            .map_batches(graph.EmitEdgesPartial, batch_format="pyarrow",
-                         batch_size=cfg.canon_batch_size,
-                         concurrency=edge_conc,
-                         fn_constructor_kwargs={"map_ref": map_ref})
-    if cfg.emit_order_edges:
-        order = graph.order_edges(page_meta).map_batches(
-            lambda t: t.rename_columns(["src", "dst", "type", "pred", "w"]),
-            batch_format="pyarrow")
-        edge_partials = edge_partials.union(order)
+        if cfg.emit_order_edges:
+            order = graph.order_edges(page_meta).map_batches(
+                lambda t: t.rename_columns(
+                    ["src", "dst", "type", "pred", "w"]),
+                batch_format="pyarrow")
+            edge_partials = edge_partials.union(order)
 
     known_ids = {nid for _, nid in mapping.values()}
     nodes_dir = os.path.join(out_root, "nodes")
@@ -398,55 +372,39 @@ def run(pages_path: str, dict_path: str, out_root: str, *,
         _shutil.rmtree(edges_dir, ignore_errors=True)
         _shutil.rmtree(nodes_dir, ignore_errors=True)
 
-        # FULLY OVERLAPPED sinks, no driver barrier between them:
-        # two threads stream the independent upstreams (edge partials;
-        # page+NIL node partials) and launch their exchange waves
-        # un-gotten; the dictionary-bounded entity/alias node table is
-        # built by ONE task downstream of the edge buckets' count
-        # partials and sliced per node bucket; each node bucket's final
-        # merge+write fires the moment its sorted partials and entity
-        # slice are ready. The only driver waits are the two upstream
-        # joins and the single final ray.get.
-        import threading
-
-        nil_partials = linked_ds \
-            .select_columns(["subj", "subj_type", "obj", "obj_type"]) \
-            .map_batches(graph.NilNodePartials, batch_format="pyarrow",
+        # MERGED graph sink: ONE full-pool scan of the linked table
+        # emits edge AND NIL-node partials in the tagged union layout
+        # (graph.EmitGraphPartials), page-node and order-edge rows
+        # union in, and a single exchange with 2×B reduce tasks writes
+        # the sorted edge parts while producing the sorted node-partial
+        # tables — no worker threads, no pool split, and the linked
+        # table is scanned once instead of twice. The dictionary-
+        # bounded entity/alias node table is built by ONE task
+        # downstream of the edge buckets' count partials and sliced per
+        # node bucket; each node bucket's final merge+write fires the
+        # moment its sorted partials and entity slice are ready. The
+        # only driver waits are the upstream stream and the final
+        # ray.get.
+        partials = linked_ds \
+            .select_columns(["url", "subj", "subj_type",
+                             "obj", "obj_type", "pred"]) \
+            .map_batches(graph.EmitGraphPartials, batch_format="pyarrow",
                          batch_size=cfg.canon_batch_size,
-                         concurrency=nil_conc,
+                         concurrency=cfg.canon_concurrency,
                          fn_constructor_kwargs={"map_ref": map_ref})
-        node_partials = graph.page_nodes(page_meta).union(nil_partials)
+        if cfg.emit_order_edges:
+            order = graph.order_edges(page_meta).map_batches(
+                lambda t: graph._tag_edges(t.rename_columns(
+                    ["src", "dst", "type", "pred", "w"])),
+                batch_format="pyarrow")
+            partials = partials.union(order)
+        partials = partials.union(graph.page_node_partials(page_meta))
 
-        boxes: dict[str, dict] = {"edges": {}, "nodes": {}}
-
-        def _launch(box: dict, fn) -> None:
-            try:
-                box["refs"] = fn()
-            except BaseException as exc:  # re-raised on the main thread
-                box["error"] = exc
-
-        th_e = threading.Thread(
-            target=_launch, name="edges-sink",
-            args=(boxes["edges"], lambda: graph.launch_finalize_edges(
-                edge_partials, edges_dir, known_ids,
-                num_buckets=sink_buckets, coalesce_blocks=sink_coalesce)))
-        th_n = threading.Thread(
-            target=_launch, name="nodes-split",
-            args=(boxes["nodes"], lambda: graph.launch_node_splits(
-                node_partials, sink_buckets,
-                coalesce_blocks=sink_coalesce)))
-        th_e.start()
-        th_n.start()
-        th_e.join()
-        th_n.join()
-        for box in boxes.values():
-            if "error" in box:
-                raise box["error"]
-        edge_refs = boxes["edges"]["refs"]
+        edge_refs, n1 = graph.launch_graph_sink(
+            partials, edges_dir, known_ids,
+            num_buckets=sink_buckets, coalesce_blocks=sink_coalesce)
         mark("sink upstreams")
 
-        n1 = graph.launch_sorted_node_tables(boxes["nodes"]["refs"],
-                                             sink_buckets)
         ent = graph.launch_entity_node_slices(map_ref, type_of,
                                               edge_refs, sink_buckets)
         writes = graph.launch_merge_write_nodes(n1, ent, nodes_dir,

@@ -187,6 +187,76 @@ class EmitEdgesPartial:
                             g["w"].cast(pa.int64()))
 
 
+# Tagged union layout for the MERGED streaming graph-sink pass: edge
+# partials and node partials ride ONE exchange, with node rows mapped
+# onto the edge columns (src←node_id, type←entity_type, pred←key) so
+# the dominant edge rows carry ZERO dead columns. tag: 0 = edge,
+# 1 = NIL entity node, 2 = page node (label derived from tag at the
+# reduce). surface_forms / n_mentions are always null in partials and
+# are re-added at the node reduce.
+GRAPH_PARTIAL_SCHEMA = pa.schema([
+    ("tag", pa.int8()),
+    ("src", pa.binary(20)),
+    ("dst", pa.binary(20)),           # null for node rows
+    ("type", pa.string()),            # edge type | entity_type (nullable)
+    ("pred", pa.string()),            # edge pred | node key
+    ("w", pa.int64()),                # partial weight | null
+])
+
+
+def _tag_edges(t: pa.Table, tag: int = 0) -> pa.Table:
+    return pa.table({
+        "tag": pa.nulls(t.num_rows, pa.int8()).fill_null(tag),
+        "src": t["src"], "dst": t["dst"], "type": t["type"],
+        "pred": t["pred"], "w": t["w"],
+    }).cast(GRAPH_PARTIAL_SCHEMA)
+
+
+def _tag_nodes(node_id, key, entity_type, tag: int) -> pa.Table:
+    n = len(node_id)
+    return pa.table({
+        "tag": pa.nulls(n, pa.int8()).fill_null(tag),
+        "src": node_id,
+        "dst": pa.nulls(n, pa.binary(20)),
+        "type": entity_type,
+        "pred": key,
+        "w": pa.nulls(n, pa.int64()),
+    }).cast(GRAPH_PARTIAL_SCHEMA)
+
+
+class EmitGraphPartials:
+    """Actor-pool worker for the MERGED streaming graph-sink pass: ONE
+    scan of the linked triples emits BOTH the partial-aggregated edge
+    rows (exactly ``EmitEdgesPartial``) and the per-batch-distinct NIL
+    entity node rows (exactly ``NilNodePartials``) in the tagged union
+    layout — halving the linked-table scans and letting the full actor
+    pool work one pipeline instead of two split pools in two threads."""
+
+    def __init__(self, map_ref=None, mapping: dict | None = None) -> None:
+        self._edges = EmitEdgesPartial(map_ref=map_ref, mapping=mapping)
+        self._nodes = NilNodePartials(mapping=self._edges.mapping)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        e = self._edges(batch)
+        nil = self._nodes(batch)
+        return pa.concat_tables([
+            _tag_edges(e),
+            _tag_nodes(nil["node_id"], nil["key"], nil["entity_type"],
+                       tag=1),
+        ])
+
+
+def page_node_partials(pages_ds):
+    """page rows → page-node rows in the tagged union layout (tag=2)."""
+    def to_rows(t: pa.Table) -> pa.Table:
+        urls = t.column("url").to_pylist()
+        ids = pa.array([page_node_id_bin(u) for u in urls], pa.binary(20))
+        return _tag_nodes(ids, pa.array(urls, pa.string()),
+                          pa.nulls(len(urls), pa.string()), tag=2)
+
+    return pages_ds.map_batches(to_rows, batch_format="pyarrow")
+
+
 class NilNodePartials:
     """Actor-pool worker for the STREAMING nodes path: linked triples →
     per-batch-distinct NIL entity node rows straight from the mapping
@@ -656,45 +726,17 @@ def range_sorted_write(ds, key: str, sort_keys: list, out_dir: str,
 
 
 # ---------------------------------------------------------------------------
-# Overlapped node sink (streaming mode) — three composed task waves, no
+# Overlapped node sink (streaming mode) — composed task waves, no
 # driver barrier anywhere between the edge and node sinks:
-#   S  — split node-partial blocks by range bucket (launch_node_splits;
-#        runs while the edge sink's upstream streams in its own thread)
-#   N1 — per-bucket sort + dedup of the partials (launch_sorted_node_
-#        tables; overlaps the edge bucket sort/write wave)
+#   S/N1 — the merged launch_graph_sink exchange splits the tagged
+#        partials and produces, per node bucket, the sorted+deduped
+#        partial table (while its edge buckets sort and write parts)
 #   N2 — merge each bucket's entity/alias slice (computed by ONE task
 #        downstream of the edge counts) into the sorted partials and
 #        write the final part (launch_merge_write_nodes). Ray releases
 #        bucket b's N2 the moment its N1 table and entity slice are
 #        both ready.
 # ---------------------------------------------------------------------------
-
-def launch_node_splits(node_partials_ds, num_buckets: int,
-                       coalesce_blocks: int | None = None) -> list:
-    """Wave S: range-bucket the node partials on node_id and launch the
-    split tasks; blocks while the upstream streams (thread it)."""
-    from ..ops.exchange import split_refs
-
-    if coalesce_blocks:
-        node_partials_ds = node_partials_ds.repartition(coalesce_blocks)
-    bucketed = node_partials_ds.map_batches(
-        lambda t: _append_range_bucket(t, "node_id", num_buckets),
-        batch_format="pyarrow")
-    return split_refs(bucketed, num_buckets)
-
-
-def launch_sorted_node_tables(splits: list, num_buckets: int) -> list:
-    """Wave N1: per-bucket sort + first-per-key dedup, tables kept in
-    the object store (refs; None for empty buckets)."""
-    from ..ops.exchange import reduce_refs
-
-    def sort_dedup(rb: int, t: pa.Table | None):
-        if t is None or t.num_rows == 0:
-            return None
-        return _sort_dedup(t, [("node_id", "ascending")], "node_id")
-
-    return reduce_refs(splits, num_buckets, sort_dedup)
-
 
 def launch_entity_node_slices(map_ref, type_of: dict, count_refs: list,
                               num_buckets: int) -> list:
@@ -810,6 +852,90 @@ def launch_finalize_edges(edge_partials_ds, out_dir: str,
         batch_format="pyarrow")
     return reduce_refs(split_refs(bucketed, num_buckets), num_buckets,
                        write_group)
+
+
+def launch_graph_sink(partials_ds, edges_dir: str, known_ids_hex: set,
+                      num_buckets: int = 64,
+                      coalesce_blocks: int | None = None
+                      ) -> tuple[list, list]:
+    """MERGED streaming graph sink, NON-BLOCKING: one tagged-union
+    partials stream (``GRAPH_PARTIAL_SCHEMA``) → ONE exchange with
+    2×num_buckets reduce tasks. Buckets [0, B) are edge buckets (fused
+    dedup + sort + sorted-part write + mention-count partial, exactly
+    ``launch_finalize_edges``'s kernel); buckets [B, 2B) are node
+    buckets (per-bucket sort + first-per-key dedup of the node
+    partials, exactly ``launch_sorted_node_tables``'s kernel, with
+    label derived from the tag). Returns (edge_count_refs, n1_refs),
+    both un-gotten, in bucket order — compose the entity-slice / merge
+    / counts-side-file waves on them. The calling thread blocks while
+    the upstream Dataset streams (one upstream now, so no worker
+    threads are needed)."""
+    import os
+
+    import numpy as np
+    import pyarrow.compute as pc
+
+    os.makedirs(edges_dir, exist_ok=True)
+    if coalesce_blocks:
+        partials_ds = partials_ds.repartition(coalesce_blocks)
+    known_arr = pa.array(sorted(bytes.fromhex(k) for k in known_ids_hex),
+                         pa.binary(20))
+    order = [(k, "ascending") for k in ("src", "type", "dst", "pred")]
+    B = num_buckets
+
+    def tag_bucket(t: pa.Table) -> pa.Table:
+        t = _append_range_bucket(t, "src", B)
+        tags = t["tag"].to_numpy(zero_copy_only=False)
+        rb = t["_rb"].to_numpy(zero_copy_only=False)
+        rb = np.where(tags == 0, rb, rb + B).astype(np.int32)
+        return t.set_column(t.schema.get_field_index("_rb"), "_rb",
+                            pa.array(rb, pa.int32()))
+
+    def reduce_group(rb: int, t: pa.Table | None):
+        if rb < B:
+            # edge bucket — launch_finalize_edges's write_group kernel
+            if t is None or t.num_rows == 0:
+                return _EDGE_COUNTS_SCHEMA.empty_table()
+            t = t.select(["src", "dst", "type", "pred", "w"])
+            t = t.group_by(["src", "dst", "type", "pred"]) \
+                .aggregate([("w", "sum")])
+            expected = ["src", "dst", "type", "pred", "w_sum"]
+            if t.column_names != expected:
+                raise AssertionError(f"group_by output order changed: "
+                                     f"{t.column_names}")
+            t = t.rename_columns(["src", "dst", "type", "pred", "weight"])
+            t = t.set_column(4, "weight", t["weight"].cast(pa.int64()))
+            t = t.sort_by(order)
+            _write_part(encode_edges_hex(t), edges_dir, rb)
+            m = pc.and_(pc.equal(t["type"], "mentions"),
+                        pc.is_in(t["dst"], value_set=known_arr))
+            cm = t.filter(m).group_by("dst").aggregate([("weight", "sum")])
+            if cm.num_rows == 0:
+                return _EDGE_COUNTS_SCHEMA.empty_table()
+            return cm.rename_columns(["dst", "n"]).cast(_EDGE_COUNTS_SCHEMA)
+        # node bucket — reconstruct the internal node layout, then the
+        # launch_sorted_node_tables kernel (sort + first-per-key dedup;
+        # valid: duplicate node_id partial rows are bit-identical)
+        if t is None or t.num_rows == 0:
+            return None
+        t = _sort_dedup(t, [("src", "ascending")], "src")
+        n = t.num_rows
+        label = pc.if_else(pc.equal(t["tag"], 1),
+                           pa.scalar("entity", pa.string()),
+                           pa.scalar("page", pa.string()))
+        return pa.table({
+            "node_id": t["src"], "label": label, "key": t["pred"],
+            "entity_type": t["type"],
+            "surface_forms": pa.nulls(n, pa.list_(pa.string())),
+            "n_mentions": pa.nulls(n, pa.int64()),
+        })
+
+    from ..ops.exchange import reduce_refs, split_refs
+
+    bucketed = partials_ds.map_batches(tag_bucket, batch_format="pyarrow")
+    splits = split_refs(bucketed, 2 * B)
+    refs = reduce_refs(splits, 2 * B, reduce_group)
+    return refs[:B], refs[B:]
 
 
 def _merge_count_partials(partials) -> dict:
