@@ -8,8 +8,8 @@ layout instead, measured ~2.5× faster at 600k rows / 150k keys:
 
   map side   : per-batch ``pyarrow.Table.group_by`` partial aggregate
                (C kernel) + a ``bucket = stable_hash(keys) % B`` column
-  shuffle    : ``groupby("bucket")`` — the exchange key is a small int,
-               so the sort-based shuffle sorts ints, not key tuples
+  shuffle    : the raw-task bucket exchange (ops.exchange) on the
+               dense map-side bucket id — no sampling, no sort
   reduce side: per-bucket ``group_by`` final aggregate (C kernel)
 
 The shuffle volume is bounded by (distinct keys per batch × batches),
@@ -122,8 +122,26 @@ def hash_aggregate(ds, keys: str | list[str],
                                     pc.cast(out[c], pa.float64()))
         return pa.table(cols)
 
-    return ds.map_batches(partial, batch_format="pyarrow") \
-        .groupby("bucket").map_groups(final, batch_format="pyarrow")
+    # the exchange is the raw-task bucket exchange (ops.exchange), not
+    # Dataset.groupby: the bucket id is already a dense map-side int,
+    # so the Dataset sort-based AllToAll's sample/sort machinery is
+    # pure overhead — measured 6.6 s vs 1.3 s cold and 1.6 s vs 0.9 s
+    # warm for the one-level lineitem aggregate at sf0.1 / 32 cpus.
+    # Every post-`partial` block carries the full partial schema, so
+    # empty buckets reduce over schema-correct 0-row slices and
+    # `final` returns a typed empty table — no schema hints needed.
+    # Results stay in the object store (from_arrow_refs), one block
+    # per bucket.
+    from .exchange import bucket_exchange_ds
+
+    def reduce(b: int, t: pa.Table | None) -> pa.Table:
+        if t is None:  # zero-block input (unreachable via `partial`)
+            return pa.table({})
+        return final(t)
+
+    mapped = ds.map_batches(partial, batch_format="pyarrow")
+    return bucket_exchange_ds(mapped, num_buckets, reduce,
+                              bucket_col="bucket")
 
 
 def hash_count(ds, keys: str | list[str], out_name: str = "n",

@@ -13,10 +13,10 @@ side. This operator covers the case where BOTH sides are fact-scale:
                ``__jside`` tag; the two sides are padded to one common
                schema (missing columns filled with typed nulls) so a
                single ``union`` stream carries both.
-  shuffle    : ONE exchange — ``groupby("__jbucket")``; the key is a
-               small int32, so the sort-based exchange sorts ints, not
-               key tuples, and both sides of every key land in the same
-               bucket by construction.
+  shuffle    : ONE exchange — the raw-task bucket exchange
+               (ops.exchange) over ``__jbucket``; both sides of every
+               key land in the same bucket by construction, with no
+               sampling or sort-boundary negotiation.
   reduce side: per-bucket ``pyarrow.Table.join`` (Acero C++ hash join)
                after splitting the bucket back into its two sides.
 
@@ -62,8 +62,10 @@ def hash_join(left_ds, right_ds, on, *, right_on=None, how: str = "inner",
     ``left_schema`` / ``right_schema``: optional schema hints. A lazy
     Dataset whose plan can't report its schema is otherwise pinned with
     a ``materialize()`` (an extra execution barrier); passing the known
-    schema keeps the whole join lazy so it fuses into one streaming job
-    with its consumers.
+    schema avoids that probe. The join itself executes eagerly at call
+    time (the bucket exchange consumes both sides as they stream);
+    the returned Dataset wraps the per-bucket results in the object
+    store.
 
     Output columns: left columns (keys under their left names), then —
     for inner/left/full — the right side's non-key columns. semi/anti emit
@@ -114,32 +116,40 @@ def hash_join(left_ds, right_ds, on, *, right_on=None, how: str = "inner",
     layout = [(c, lschema.field(c).type) for c in lcols] + \
              [(c, rschema.field(c).type) for c in rpayload]
 
+    # Every padded block is CAST to the declared layout (no-op when the
+    # types already match): the schema hints are enforced, not trusted,
+    # so a hint/parquet dtype drift cannot produce blocks of mixed
+    # types inside one exchange — and the bucket hash runs on the
+    # casted keys, so both sides hash identical physical types.
     def pad_left(t: pa.Table) -> pa.Table:
         n = t.num_rows
-        cols = {c: t[c] for c in lcols}
-        for c, typ in layout[len(lcols):]:
-            cols[c] = _null_column(n, typ)
+        cols = {}
+        for name, typ in layout:
+            if name in lcols:
+                cols[name] = t[name].cast(typ)
+            else:
+                cols[name] = _null_column(n, typ)
         out = pa.table({name: cols[name] for name, _ in layout})
         out = out.append_column("__jside",
                                 pa.repeat(pa.scalar(0, pa.int8()), n))
         return out.append_column(
-            "__jbucket", _bucket_column(t, lkeys, num_buckets))
+            "__jbucket", _bucket_column(out, lkeys, num_buckets))
 
     def pad_right(t: pa.Table) -> pa.Table:
         n = t.num_rows
         cols = {}
         for name, typ in layout:
             if name in lkeys:
-                cols[name] = t[rkeys[lkeys.index(name)]]
+                cols[name] = t[rkeys[lkeys.index(name)]].cast(typ)
             elif name in rpayload:
-                cols[name] = t[name]
+                cols[name] = t[name].cast(typ)
             else:
                 cols[name] = _null_column(n, typ)
         out = pa.table({name: cols[name] for name, _ in layout})
         out = out.append_column("__jside",
                                 pa.repeat(pa.scalar(1, pa.int8()), n))
         return out.append_column(
-            "__jbucket", _bucket_column(t, rkeys, num_buckets))
+            "__jbucket", _bucket_column(out, lkeys, num_buckets))
 
     both = left_ds.map_batches(pad_left, batch_format="pyarrow").union(
         right_ds.map_batches(pad_right, batch_format="pyarrow"))
@@ -181,5 +191,18 @@ def hash_join(left_ds, right_ds, on, *, right_on=None, how: str = "inner",
             cols[c] = rt[c].take(ridx)
         return pa.table({name: cols[name] for name in out_names})
 
-    return both.groupby("__jbucket").map_groups(join_bucket,
-                                                batch_format="pyarrow")
+    # raw-task bucket exchange instead of Dataset.groupby — the bucket
+    # id is a dense map-side int, so the sort-based AllToAll's
+    # sample/sort phases are pure overhead (same measured rationale as
+    # ops.hashagg). Padded blocks always carry the full union layout,
+    # so empty buckets join schema-correct 0-row sides and emit a
+    # typed empty table; per-bucket results stay in the object store.
+    from .exchange import bucket_exchange_ds
+
+    def reduce(b: int, g: pa.Table | None) -> pa.Table:
+        if g is None:  # zero-block input (both sides empty of blocks)
+            return pa.table({})
+        return join_bucket(g)
+
+    return bucket_exchange_ds(both, num_buckets, reduce,
+                              bucket_col="__jbucket")

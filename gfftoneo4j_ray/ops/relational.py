@@ -268,7 +268,7 @@ def q_join_enrich(sf_dir: str,
             left_schema=pa.schema([("o_custkey", pa.int64()),
                                    ("o_totalprice", pa.float64())]),
             right_schema=pa.schema([("c_custkey", pa.int64()),
-                                    ("c_nationkey", pa.int64())]))
+                                    ("c_nationkey", pa.int32())]))
         nref = ray.put(n2name)
 
         def name_partials(t: pa.Table, _ref=nref) -> pa.Table:
