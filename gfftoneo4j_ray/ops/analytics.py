@@ -157,10 +157,11 @@ def q_tfidf(sf_dir: str, max_doc_id: int = 200, topk: int = 3):
             "score_c": pa.array(np.floor(sc * 10000 + 0.5).astype(np.int64)),
         })
 
-    return joined.map_batches(score, batch_format="pyarrow") \
-        .groupby("bucket").map_groups(
-            lambda g: per_bucket(g.drop_columns(["bucket"])),
-            batch_format="pyarrow")
+    from .exchange import bucketed_map_groups
+
+    # raw-task bucket exchange; per_bucket is 0-row-guarded
+    return bucketed_map_groups(
+        joined.map_batches(score, batch_format="pyarrow"), 16, per_bucket)
 
 
 # ---------------------------------------------------------------------------

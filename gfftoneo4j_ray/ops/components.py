@@ -74,11 +74,14 @@ def connected_components(pairs_ds, a: str = "doc_a", b: str = "doc_b",
         # round unions labels back in — without a block-count bound the
         # per-round block count doubles (exponential rounds, measured);
         # repartition is a cheap split/merge, not a shuffle
-        return both.map_batches(add_b, batch_format="pyarrow") \
-            .groupby("bucket") \
-            .map_groups(lambda g: agg(g.drop_columns(["bucket"])),
-                        batch_format="pyarrow") \
-            .repartition(num_buckets).materialize()
+        # raw-task bucket exchange: emits exactly num_buckets blocks,
+        # so the per-round block count is bounded by construction (no
+        # repartition needed)
+        from .exchange import bucketed_map_groups
+
+        return bucketed_map_groups(
+            both.map_batches(add_b, batch_format="pyarrow"),
+            num_buckets, agg).materialize()
 
     labels = None
     for _ in range(max_iters):
@@ -97,9 +100,19 @@ def connected_components(pairs_ds, a: str = "doc_a", b: str = "doc_b",
             both = edges.map_batches(as_cand0, batch_format="pyarrow") \
                 .union(edges.map_batches(as_self0, batch_format="pyarrow"))
         else:
-            # exchange 1: for edge (x, y), propose L(y) to x
-            prop = hash_join(edges, labels, on="y", right_on="node",
-                             how="inner", num_buckets=num_buckets)
+            # exchange 1: for edge (x, y), propose L(y) to x.
+            # Explicit schema hints: labels is a lazy select_columns
+            # over the exchange-backed round output, whose
+            # fetch_if_missing=False schema Ray reports UNPRUNED
+            # (includes the dropped `changed` column) — the hint keeps
+            # the join honest and skips the probe entirely.
+            prop = hash_join(
+                edges, labels, on="y", right_on="node", how="inner",
+                num_buckets=num_buckets,
+                left_schema=pa.schema([("x", pa.int64()),
+                                       ("y", pa.int64())]),
+                right_schema=pa.schema([("node", pa.int64()),
+                                        ("label", pa.int64())]))
 
             def as_cand(t: pa.Table) -> pa.Table:
                 n = t.num_rows

@@ -122,6 +122,31 @@ def bucket_exchange(ds, num_buckets: int, reduce_fn, *,
     return ray.get(reduce_refs(splits, num_buckets, reduce_fn))
 
 
+def bucketed_map_groups(ds, num_buckets: int, fn, *,
+                        bucket_col: str = "bucket", empty_schema=None):
+    """Drop-in for ``ds.groupby(bucket_col).map_groups(fn)`` when the
+    bucket column holds dense map-side ints in [0, num_buckets) — runs
+    the raw-task exchange instead of the Dataset sort-based AllToAll
+    (same measured rationale as the module docstring).
+
+    Contract differences the caller's ``fn`` must satisfy (checked at
+    each converted call site):
+      * ``fn`` never sees the bucket column (the exchange strips it);
+      * ``fn`` must be 0-row-safe: empty buckets receive a
+        schema-correct 0-row table (Dataset map_groups skips empty
+        groups entirely) and must return a 0-row table of the OUTPUT
+        schema — all-vectorized kernels do this for free.
+    """
+    def reduce(b: int, t: pa.Table | None) -> pa.Table:
+        if t is None:  # zero-block input
+            return pa.table({})
+        return fn(t)
+
+    return bucket_exchange_ds(ds, num_buckets, reduce,
+                              bucket_col=bucket_col,
+                              empty_schema=empty_schema)
+
+
 def bucket_exchange_ds(ds, num_buckets: int, reduce_fn, *,
                        bucket_col: str = "_rb", empty_schema=None):
     """Like ``bucket_exchange`` but the per-bucket results (pyarrow

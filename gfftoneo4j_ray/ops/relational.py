@@ -194,10 +194,12 @@ def q_group_consistency(sf_dir: str):
             "the_flag": pa.array(flags[starts][ok], pa.string()),
         })
 
-    return ds.map_batches(add_bucket, batch_format="pyarrow") \
-        .groupby("bucket").map_groups(
-            lambda g: per_bucket(g.drop_columns(["bucket"])),
-            batch_format="pyarrow")
+    from .exchange import bucketed_map_groups
+
+    # raw-task bucket exchange (ops.exchange rationale); per_bucket is
+    # 0-row-safe and never reads the bucket column
+    return bucketed_map_groups(
+        ds.map_batches(add_bucket, batch_format="pyarrow"), 32, per_bucket)
 
 
 def q_distinct(sf_dir: str):
@@ -205,12 +207,19 @@ def q_distinct(sf_dir: str):
     distinct + tiny global dedup (never a full-row shuffle)."""
     ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus"])
 
-    def local_distinct(t: pa.Table) -> pa.Table:
-        return t.group_by(["l_returnflag", "l_linestatus"]).aggregate([])
+    from .exchange import bucketed_map_groups
+    from .hashagg import append_bucket
 
-    return ds.map_batches(local_distinct, batch_format="pyarrow") \
-        .groupby(["l_returnflag", "l_linestatus"]) \
-        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+    keys = ["l_returnflag", "l_linestatus"]
+
+    def local_distinct(t: pa.Table) -> pa.Table:
+        return append_bucket(t.group_by(keys).aggregate([]), keys, 8)
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        return g.group_by(keys).aggregate([])
+
+    return bucketed_map_groups(
+        ds.map_batches(local_distinct, batch_format="pyarrow"), 8, per_bucket)
 
 
 # ---------------------------------------------------------------------------
@@ -354,10 +363,12 @@ def q_adjacent_pairs(sf_dir: str):
             "gap_us": pa.array((ts[1:] - ts[:-1])[same], pa.int64()),
         })
 
-    return ds.map_batches(add_bucket, batch_format="pyarrow") \
-        .groupby("bucket").map_groups(
-            lambda g: per_bucket(g.drop_columns(["bucket"])),
-            batch_format="pyarrow")
+    from .exchange import bucketed_map_groups
+
+    # raw-task bucket exchange (ops.exchange rationale); per_bucket is
+    # 0-row-safe and never reads the bucket column
+    return bucketed_map_groups(
+        ds.map_batches(add_bucket, batch_format="pyarrow"), 32, per_bucket)
 
 
 def q_window_agg(sf_dir: str):
@@ -614,10 +625,11 @@ def q_topk_per_group(sf_dir: str):
             "price_c": _scaled(kept["l_extendedprice"].to_numpy(zero_copy_only=False)),
         })
 
-    return ds.map_batches(add_bucket, batch_format="pyarrow") \
-        .groupby("bucket") \
-        .map_groups(lambda g: topk(g.drop_columns(["bucket"])),
-                    batch_format="pyarrow")
+    from .exchange import bucketed_map_groups
+
+    # raw-task bucket exchange; topk is vectorized and 0-row-safe
+    return bucketed_map_groups(
+        ds.map_batches(add_bucket, batch_format="pyarrow"), 32, topk)
 
 
 def q_session_windows(sf_dir: str):
@@ -667,10 +679,12 @@ def q_session_windows(sf_dir: str):
             "dur_us": pa.array(ts[send] - ts[sstart], pa.int64()),
         })
 
-    return ds.map_batches(add_bucket, batch_format="pyarrow") \
-        .groupby("bucket").map_groups(
-            lambda g: per_bucket(g.drop_columns(["bucket"])),
-            batch_format="pyarrow")
+    from .exchange import bucketed_map_groups
+
+    # raw-task bucket exchange (ops.exchange rationale); per_bucket is
+    # 0-row-safe and never reads the bucket column
+    return bucketed_map_groups(
+        ds.map_batches(add_bucket, batch_format="pyarrow"), 32, per_bucket)
 
 
 def q_asof_join(sf_dir: str):
@@ -722,10 +736,12 @@ def q_asof_join(sf_dir: str):
                 pa.int64()),
         })
 
-    return ds.map_batches(add_bucket, batch_format="pyarrow") \
-        .groupby("bucket").map_groups(
-            lambda g: per_bucket(g.drop_columns(["bucket"])),
-            batch_format="pyarrow")
+    from .exchange import bucketed_map_groups
+
+    # raw-task bucket exchange (ops.exchange rationale); per_bucket is
+    # 0-row-safe and never reads the bucket column
+    return bucketed_map_groups(
+        ds.map_batches(add_bucket, batch_format="pyarrow"), 32, per_bucket)
 
 
 def q_range_join(sf_dir: str):
@@ -785,10 +801,12 @@ def q_range_join(sf_dir: str):
             "n_prior_clicks": pa.array(n.astype(np.int64), pa.int64()),
         })
 
-    return ds.map_batches(add_bucket, batch_format="pyarrow") \
-        .groupby("bucket").map_groups(
-            lambda g: per_bucket(g.drop_columns(["bucket"])),
-            batch_format="pyarrow")
+    from .exchange import bucketed_map_groups
+
+    # raw-task bucket exchange (ops.exchange rationale); per_bucket is
+    # 0-row-safe and never reads the bucket column
+    return bucketed_map_groups(
+        ds.map_batches(add_bucket, batch_format="pyarrow"), 32, per_bucket)
 
 
 # ---------------------------------------------------------------------------

@@ -210,10 +210,11 @@ def q_quantile_hist(sf_dir: str):
             "p90_qty_c": pa.array(out_p90, pa.int64()),
         })
 
-    return hist.map_batches(add_b, batch_format="pyarrow") \
-        .groupby("bucket").map_groups(
-            lambda g: quantiles(g.drop_columns(["bucket"])),
-            batch_format="pyarrow")
+    from .exchange import bucketed_map_groups
+
+    # raw-task bucket exchange; quantiles is 0-row-guarded
+    return bucketed_map_groups(
+        hist.map_batches(add_b, batch_format="pyarrow"), 4, quantiles)
 
 
 # ---------------------------------------------------------------------------
@@ -248,14 +249,15 @@ def q_arg_max(sf_dir: str):
                          "max_value_c": g["vc"],
                          "argmax_event_id": g["event_id"]})
 
-    return _read(sf_dir, "events",
-                 columns=["event_id", "event_type", "value"]) \
+    from .exchange import bucketed_map_groups
+
+    mapped = _read(sf_dir, "events",
+                   columns=["event_id", "event_type", "value"]) \
         .map_batches(partial, batch_format="pyarrow") \
         .map_batches(lambda t: append_bucket(t, ["event_type"], 4),
-                     batch_format="pyarrow") \
-        .groupby("bucket").map_groups(
-            lambda g: final(g.drop_columns(["bucket"])),
-            batch_format="pyarrow")
+                     batch_format="pyarrow")
+    # raw-task bucket exchange; final/reduce_rows are 0-row-safe
+    return bucketed_map_groups(mapped, 4, final)
 
 
 # ---------------------------------------------------------------------------

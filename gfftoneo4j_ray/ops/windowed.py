@@ -78,10 +78,11 @@ def q_rolling_avg(sf_dir: str, window: int = 3):
             "roll_avg_c": pa.array(avg, pa.int64()),
         })
 
-    return ds.map_batches(derive, batch_format="pyarrow") \
-        .groupby("bucket").map_groups(
-            lambda g: per_bucket(g.drop_columns(["bucket"])),
-            batch_format="pyarrow")
+    from .exchange import bucketed_map_groups
+
+    # raw-task bucket exchange; per_bucket is 0-row-guarded
+    return bucketed_map_groups(
+        ds.map_batches(derive, batch_format="pyarrow"), 32, per_bucket)
 
 
 # ---------------------------------------------------------------------------
@@ -160,10 +161,11 @@ def hll_distinct(ds, key: str, group: str, out_name: str = "n_approx"):
         return pa.table({group: pa.array(out_g),
                          out_name: pa.array(out_n, pa.int64())})
 
-    return merged.map_batches(add_b, batch_format="pyarrow") \
-        .groupby("bucket").map_groups(
-            lambda g: estimate(g.drop_columns(["bucket"])),
-            batch_format="pyarrow")
+    from .exchange import bucketed_map_groups
+
+    # raw-task bucket exchange; estimate is 0-row-guarded
+    return bucketed_map_groups(
+        merged.map_batches(add_b, batch_format="pyarrow"), 8, estimate)
 
 
 def q_hll_users(sf_dir: str):

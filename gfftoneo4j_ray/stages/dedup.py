@@ -196,10 +196,12 @@ def minhash_candidates(docs_ds, num_perm: int = 64, bands: int = 16,
         return pa.table({"doc_a": pa.array(a, pa.int64()),
                          "doc_b": pa.array(b, pa.int64())})
 
-    cand = band_rows.map_batches(add_bucket, batch_format="pyarrow") \
-        .groupby("bucket").map_groups(
-            lambda g: pairs_in_bucket(g.drop_columns(["bucket"])),
-            batch_format="pyarrow")
+    from ..ops.exchange import bucketed_map_groups
+
+    # raw-task bucket exchange; pairs_in_bucket is 0-row-safe
+    cand = bucketed_map_groups(
+        band_rows.map_batches(add_bucket, batch_format="pyarrow"),
+        64, pairs_in_bucket)
     if not distinct:
         return cand
     # dedup pairs found in multiple bands (bucketed distinct)
@@ -332,10 +334,12 @@ def _verify_pairs_broadcast(docs_ds, pair_a: np.ndarray, pair_b: np.ndarray,
         return pa.table({"doc_a": pa.array(ka, pa.int64()),
                          "doc_b": pa.array(kb, pa.int64())})
 
-    return docs_ds.map_batches(emit, batch_format="pyarrow") \
-        .groupby("bucket").map_groups(
-            lambda g: verify(g.drop_columns(["bucket"])),
-            batch_format="pyarrow")
+    from ..ops.exchange import bucketed_map_groups
+
+    # raw-task bucket exchange; verify is 0-row-safe
+    return bucketed_map_groups(
+        docs_ds.map_batches(emit, batch_format="pyarrow"),
+        num_buckets, verify)
 
 
 def _verify_pairs_join(docs_ds, cand_ds, threshold: float,
@@ -637,9 +641,10 @@ def simhash_neardup_pairs(docs_ds, max_hamming: int = 3,
         .map_batches(lambda t: append_bucket(t, ["chunk_id", "chunk_val"],
                                              num_buckets),
                      batch_format="pyarrow")
-    verified = chunk_rows.groupby("bucket").map_groups(
-        lambda g: verify_bucket(g.drop_columns(["bucket"])),
-        batch_format="pyarrow")
+    from ..ops.exchange import bucketed_map_groups
+
+    # raw-task bucket exchange; verify_bucket is 0-row-safe
+    verified = bucketed_map_groups(chunk_rows, num_buckets, verify_bucket)
     # a close pair matches in up to 4 chunks — bucketed distinct
     # (hamming is identical on every copy, min is a no-op merge)
     return hash_aggregate(verified, ["doc_a", "doc_b"],
@@ -667,8 +672,6 @@ def ngram_jaccard_pairs(docs_ds, max_doc_id: int, scale: int = 10000,
     corpus scale set max_df ≪ corpus size (and mirror the filter in any
     oracle). Per-bucket work is one pandas merge + groupby (no
     per-distinct-token Python dispatch — VERDICT r2 item 4)."""
-    from ray.data.aggregate import Sum
-
     from ..ops.hashagg import append_bucket
 
     def explode(t: pa.Table) -> pa.Table:
@@ -699,13 +702,22 @@ def ngram_jaccard_pairs(docs_ds, max_doc_id: int, scale: int = 10000,
                          "doc_b": pa.array(part["doc_id_y"], pa.int64()),
                          "one": pa.array(part["one"], pa.int64())})
 
-    inter = tok_rows.map_batches(bucket_tag, batch_format="pyarrow") \
-        .groupby("bucket").map_groups(bucket_pairs, batch_format="pyarrow") \
-        .groupby(["doc_a", "doc_b"]).aggregate(Sum("one", alias_name="n_inter"))
+    from ..ops.exchange import bucketed_map_groups
+    from ..ops.hashagg import hash_aggregate, hash_count
+
+    # raw-task bucket exchange (bucket_pairs only selects
+    # [token, doc_id], so the stripped bucket column is irrelevant and
+    # 0-row groups give empty frames); the per-pair intersection counts
+    # merge through the bucketed hashagg, not a Dataset key-tuple sort
+    inter = hash_aggregate(
+        bucketed_map_groups(
+            tok_rows.map_batches(bucket_tag, batch_format="pyarrow"),
+            num_buckets, bucket_pairs),
+        ["doc_a", "doc_b"], [("one", "sum", "n_inter")], num_buckets=16)
 
     # token-set sizes (small, driver-side)
     sizes = {}
-    for b in tok_rows.groupby("doc_id").count() \
+    for b in hash_count(tok_rows, "doc_id", num_buckets=16) \
             .iter_batches(batch_format="pyarrow", batch_size=65536):
         cname = [c for c in b.column_names if c != "doc_id"][0]
         for d, n in zip(b["doc_id"].to_pylist(), b[cname].to_pylist()):
@@ -822,11 +834,13 @@ def embedding_neardup_pairs(emb_ds, threshold_c: int = 9500,
             return PAIRS_SCHEMA.empty_table()
         return pa.concat_tables(tables)
 
-    return emb_ds.map_batches(fan_out, batch_format="pyarrow") \
-        .map_batches(add_bucket, batch_format="pyarrow") \
-        .groupby("bucket").map_groups(
-            lambda g: per_bucket(g.drop_columns(["bucket"])),
-            batch_format="pyarrow")
+    from ..ops.exchange import bucketed_map_groups
+
+    # raw-task bucket exchange; per_bucket is 0-row-safe
+    return bucketed_map_groups(
+        emb_ds.map_batches(fan_out, batch_format="pyarrow")
+        .map_batches(add_bucket, batch_format="pyarrow"),
+        num_buckets, per_bucket)
 
 
 def embedding_neardup_lsh(emb_ds, threshold_c: int = 9500,
@@ -895,11 +909,13 @@ def embedding_neardup_lsh(emb_ds, threshold_c: int = 9500,
             return PAIRS_SCHEMA.empty_table()
         return pa.concat_tables(tables)
 
-    cand = emb_ds.map_batches(fan_out, batch_format="pyarrow") \
-        .map_batches(add_bucket, batch_format="pyarrow") \
-        .groupby("bucket").map_groups(
-            lambda g: per_bucket(g.drop_columns(["bucket"])),
-            batch_format="pyarrow")
+    from ..ops.exchange import bucketed_map_groups
+
+    # raw-task bucket exchange; per_bucket is 0-row-safe
+    cand = bucketed_map_groups(
+        emb_ds.map_batches(fan_out, batch_format="pyarrow")
+        .map_batches(add_bucket, batch_format="pyarrow"),
+        32, per_bucket)
     return hash_aggregate(cand, ["vec_a", "vec_b"],
                           [("cos_c", "max", "cos_c")], num_buckets=16)
 
