@@ -25,6 +25,18 @@ def _normalize_rows(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
+def _emb_matrix(col: pa.ChunkedArray) -> np.ndarray:
+    """list<float> column → (n, dim) float64 matrix without a Python
+    list round-trip: one flatten + reshape (all rows share the
+    embedding dim — the column's construction invariant)."""
+    ca = col.combine_chunks()
+    n = len(ca)
+    if n == 0:
+        return np.empty((0, 0), np.float64)
+    flat = ca.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    return flat.reshape(n, -1)
+
+
 def brute_force_topk(emb_ds, query_ids: list[int], k: int = 5,
                      scale: int = 10000, concurrency=(1, 4)):
     """Exact cosine top-k: for each query vector, the k nearest corpus
@@ -50,60 +62,68 @@ def brute_force_topk(emb_ds, query_ids: list[int], k: int = 5,
     qids = qdf["vec_id"].to_numpy(dtype=np.int64)
     ref = ray.put((qmat, qids))
 
-    class LocalTopK:
-        def __init__(self, r, _k, _scale):
-            import ray as _ray
-            self.qmat, self.qids = _ray.get(r)
-            self.qid_set = set(int(q) for q in self.qids)
-            self.k, self.scale = _k, _scale
+    # stateless TASK pool, not an actor pool: the broadcast query
+    # matrix is fetched once per worker process via the module-level
+    # plasma-ref cache (dedup._cached_get), so there is no per-actor
+    # spin-up to amortize — measured as the dominant cost of this
+    # query at bench scale
+    def local_topk(t: pa.Table) -> pa.Table:
+        from .dedup import _cached_get
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
-            keep = np.array([i not in self.qid_set for i in ids])
-            if not keep.any():
-                return pa.table({"query_id": pa.array([], pa.int64()),
-                                 "neighbor_id": pa.array([], pa.int64()),
-                                 "cos_c": pa.array([], pa.int64())})
-            mat = _normalize_rows(np.array(t["embedding"].to_pylist(),
-                                           dtype=np.float64))[keep]
-            ids = ids[keep]
-            sims = self.qmat @ mat.T  # (q, b)
-            simc = np.floor(sims * self.scale + 0.5).astype(np.int64)
-            qq, nn, cc = [], [], []
-            kk = min(self.k, simc.shape[1])
-            for qi in range(simc.shape[0]):
-                # local top-k: sort by (-cos, id) for determinism
-                order = np.lexsort((ids, -simc[qi]))[:kk]
-                qq.extend([int(self.qids[qi])] * len(order))
-                nn.extend(ids[order].tolist())
-                cc.extend(simc[qi][order].tolist())
-            return pa.table({"query_id": pa.array(qq, pa.int64()),
-                             "neighbor_id": pa.array(nn, pa.int64()),
-                             "cos_c": pa.array(cc, pa.int64())})
+        qmat, qids = _cached_get(ref)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = ~np.isin(ids, qids)
+        if not keep.any():
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "cos_c": pa.array([], pa.int64())})
+        mat = _normalize_rows(_emb_matrix(t["embedding"]))[keep]
+        ids = ids[keep]
+        sims = qmat @ mat.T  # (q, b)
+        simc = np.floor(sims * scale + 0.5).astype(np.int64)
+        qq, nn, cc = [], [], []
+        kk = min(k, simc.shape[1])
+        for qi in range(simc.shape[0]):
+            # local top-k: sort by (-cos, id) for determinism
+            order = np.lexsort((ids, -simc[qi]))[:kk]
+            qq.extend([int(qids[qi])] * len(order))
+            nn.extend(ids[order].tolist())
+            cc.extend(simc[qi][order].tolist())
+        return pa.table({"query_id": pa.array(qq, pa.int64()),
+                         "neighbor_id": pa.array(nn, pa.int64()),
+                         "cos_c": pa.array(cc, pa.int64())})
 
-    partial = emb_ds.map_batches(
-        LocalTopK, batch_format="pyarrow", concurrency=concurrency,
-        fn_constructor_kwargs={"r": ref, "_k": k, "_scale": scale})
+    partial = emb_ds.map_batches(local_topk, batch_format="pyarrow")
 
-    # merge per-batch top-k lists per query (rows ≤ q × k × n_batches)
-    def merge(g: pa.Table) -> pa.Table:
-        ids = np.asarray(g["neighbor_id"].to_pylist(), dtype=np.int64)
-        cc = np.asarray(g["cos_c"].to_pylist(), dtype=np.int64)
-        order = np.lexsort((ids, -cc))[:k]
-        n = len(order)
+    # merge per-batch top-k lists (rows ≤ q × k × n_batches) through
+    # the raw-task bucket exchange; one vectorized run-boundary pass
+    # ranks every query in the bucket
+    from ..ops.exchange import bucketed_map_groups
+    from ..ops.hashagg import append_bucket
+
+    def merge_bucket(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("query_id", "ascending"), ("cos_c", "descending"),
+                       ("neighbor_id", "ascending")])
+        q = g["query_id"].to_numpy(zero_copy_only=False)
+        if len(q) == 0:
+            return pa.schema([("query_id", pa.int64()),
+                              ("rank", pa.int64()),
+                              ("neighbor_id", pa.int64()),
+                              ("cos_c", pa.int64())]).empty_table()
+        starts = np.r_[0, np.flatnonzero(q[1:] != q[:-1]) + 1]
+        rank = np.arange(len(q)) - np.repeat(
+            starts, np.diff(np.r_[starts, len(q)]))
+        kept = g.filter(pa.array(rank < k))
         return pa.table({
-            "query_id": g["query_id"].slice(0, n),
-            "rank": pa.array(np.arange(1, n + 1, dtype=np.int64), pa.int64()),
-            "neighbor_id": pa.array(ids[order], pa.int64()),
-            "cos_c": pa.array(cc[order], pa.int64()),
+            "query_id": kept["query_id"],
+            "rank": pa.array(rank[rank < k] + 1, pa.int64()),
+            "neighbor_id": kept["neighbor_id"],
+            "cos_c": kept["cos_c"],
         })
 
-    # coalesce the tiny per-batch top-k partials before the merge
-    # exchange: sort emits one (possibly EMPTY) partition per input
-    # block, and empty partitions surface as schema-less blocks (the
-    # Ray 2.49 "RefBundle with a different schema" log noise)
-    return partial.repartition(4).groupby("query_id") \
-        .map_groups(merge, batch_format="pyarrow")
+    return bucketed_map_groups(
+        partial.map_batches(lambda t: append_bucket(t, ["query_id"], 8),
+                            batch_format="pyarrow"), 8, merge_bucket)
 
 
 # ---------------------------------------------------------------------------
@@ -140,11 +160,12 @@ def lsh_topk(emb_ds, query_ids: list[int], k: int = 5, n_bits: int = 8,
                                   batch_format="pyarrow")
     qset = set(query_ids)
 
+    qarr = np.asarray(sorted(qset), dtype=np.int64)
+
     def per_bucket(g: pa.Table) -> pa.Table:
-        ids = np.asarray(g["vec_id"].to_pylist(), dtype=np.int64)
-        mat = _normalize_rows(np.array(g["embedding"].to_pylist(),
-                                       dtype=np.float64))
-        is_q = np.array([i in qset for i in ids])
+        ids = g["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = _normalize_rows(_emb_matrix(g["embedding"]))
+        is_q = np.isin(ids, qarr)
         if not is_q.any() or is_q.all():
             return pa.table({"query_id": pa.array([], pa.int64()),
                              "rank": pa.array([], pa.int64()),
@@ -166,8 +187,13 @@ def lsh_topk(emb_ds, query_ids: list[int], k: int = 5, n_bits: int = 8,
                          "neighbor_id": pa.array(nn, pa.int64()),
                          "cos_c": pa.array(cc, pa.int64())})
 
-    return bucketed.groupby("bucket").map_groups(per_bucket,
-                                                 batch_format="pyarrow")
+    # the signature IS a dense int in [0, 2^n_bits): run the raw-task
+    # bucket exchange with bucket == signature (one scan task per
+    # occupied signature; size n_bits so 2^n_bits ≈ 2× cluster cores
+    # at scale). per_bucket is 0-row-safe.
+    from ..ops.exchange import bucketed_map_groups
+
+    return bucketed_map_groups(bucketed, 1 << n_bits, per_bucket)
 
 
 # ---------------------------------------------------------------------------
@@ -238,26 +264,31 @@ def ivf_topk(emb_ds, query_ids: list[int], k: int = 5, n_cells: int = 16,
     ref = ray.put((cent, qmat, qids, cell_to_queries))
 
     def assign(t: pa.Table) -> pa.Table:
-        m = _normalize_rows(np.array(t["embedding"].to_pylist(),
-                                     dtype=np.float64))
+        if t.num_rows == 0:
+            return t.replace_schema_metadata(None).append_column(
+                "cell", pa.array([], pa.int64()))
+        m = _normalize_rows(_emb_matrix(t["embedding"]))
         cells = np.argmax(m @ cent.T, axis=1).astype(np.int64)
-        return t.append_column("cell", pa.array(cells, pa.int64()))
+        return t.replace_schema_metadata(None).append_column(
+            "cell", pa.array(cells, pa.int64()))
 
-    def per_cell(g: pa.Table) -> pa.Table:
-        import ray as _ray
+    qarr = np.asarray(sorted(qset), dtype=np.int64)
 
-        c_mat, q_mat, q_ids, c2q = _ray.get(ref)
-        cell = int(g["cell"][0].as_py())
-        probing = c2q.get(cell, [])
-        ids = np.asarray(g["vec_id"].to_pylist(), dtype=np.int64)
-        keep = np.array([i not in qset for i in ids])
+    def per_cell(cell: int, g: pa.Table | None) -> pa.Table:
+        from .dedup import _cached_get
+
+        c_mat, q_mat, q_ids, c2q = _cached_get(ref)
+        probing = c2q.get(int(cell), [])
         empty = pa.table({"query_id": pa.array([], pa.int64()),
                           "neighbor_id": pa.array([], pa.int64()),
                           "cos_c": pa.array([], pa.int64())})
+        if g is None or g.num_rows == 0:
+            return empty
+        ids = g["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = ~np.isin(ids, qarr)
         if not probing or not keep.any():
             return empty
-        mat = _normalize_rows(np.array(g["embedding"].to_pylist(),
-                                       dtype=np.float64))[keep]
+        mat = _normalize_rows(_emb_matrix(g["embedding"]))[keep]
         ids = ids[keep]
         sub = q_mat[probing]
         sims = sub @ mat.T
@@ -273,27 +304,47 @@ def ivf_topk(emb_ds, query_ids: list[int], k: int = 5, n_cells: int = 16,
                          "neighbor_id": pa.array(nn, pa.int64()),
                          "cos_c": pa.array(cc, pa.int64())})
 
-    partial = emb_ds.map_batches(assign, batch_format="pyarrow") \
-        .groupby("cell").map_groups(per_cell, batch_format="pyarrow")
+    # cell is a dense int in [0, n_cells): the raw-task exchange's
+    # bucket id IS the cell id, so per_cell receives it directly (no
+    # cell column read, 0-row/None cells handled explicitly)
+    from ..ops.exchange import bucket_exchange_ds, bucketed_map_groups
+    from ..ops.hashagg import append_bucket
 
-    def merge(g: pa.Table) -> pa.Table:
-        ids = np.asarray(g["neighbor_id"].to_pylist(), dtype=np.int64)
-        cc = np.asarray(g["cos_c"].to_pylist(), dtype=np.int64)
-        # a neighbor can surface from several probed cells — dedup
-        seen: dict[int, int] = {}
-        for i, c in zip(ids, cc):
-            seen[int(i)] = max(seen.get(int(i), -10**9), int(c))
-        items = sorted(seen.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
-        n = len(items)
+    partial = bucket_exchange_ds(
+        emb_ds.map_batches(assign, batch_format="pyarrow"),
+        n_cells, per_cell, bucket_col="cell")
+
+    def merge_bucket(g: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        # a neighbor can surface from several probed cells — dedup per
+        # (query, neighbor) keeping max cos, then rank per query
+        df = g.to_pandas()
+        if len(df):
+            df = df.groupby(["query_id", "neighbor_id"], as_index=False,
+                            sort=False)["cos_c"].max()
+            df = df.sort_values(["query_id", "cos_c", "neighbor_id"],
+                                ascending=[True, False, True],
+                                kind="mergesort").reset_index(drop=True)
+            q = df["query_id"].to_numpy()
+            starts = np.r_[0, np.flatnonzero(q[1:] != q[:-1]) + 1]
+            rank = np.arange(len(q)) - np.repeat(
+                starts, np.diff(np.r_[starts, len(q)]))
+            df = df[rank < k].assign(rank=rank[rank < k] + 1)
+        else:
+            df = df.assign(rank=np.array([], np.int64))
         return pa.table({
-            "query_id": g["query_id"].slice(0, n),
-            "rank": pa.array(np.arange(1, n + 1, dtype=np.int64), pa.int64()),
-            "neighbor_id": pa.array([i for i, _ in items], pa.int64()),
-            "cos_c": pa.array([c for _, c in items], pa.int64()),
+            "query_id": pa.array(df["query_id"].to_numpy(np.int64),
+                                 pa.int64()),
+            "rank": pa.array(df["rank"].to_numpy(np.int64), pa.int64()),
+            "neighbor_id": pa.array(df["neighbor_id"].to_numpy(np.int64),
+                                    pa.int64()),
+            "cos_c": pa.array(df["cos_c"].to_numpy(np.int64), pa.int64()),
         })
 
-    return partial.repartition(4).groupby("query_id") \
-        .map_groups(merge, batch_format="pyarrow")
+    return bucketed_map_groups(
+        partial.map_batches(lambda t: append_bucket(t, ["query_id"], 8),
+                            batch_format="pyarrow"), 8, merge_bucket)
 
 
 def recall_vs_bruteforce(approx_df, exact_df) -> float:
