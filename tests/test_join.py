@@ -171,3 +171,32 @@ def test_mixed_strategy_budget_paths_agree(ray_session):
     d = norm(R.q_semi_join(sf, broadcast_budget_rows=0),
              ["l_orderkey", "l_linenumber"])
     assert len(c) and c.equals(d)
+
+
+def test_schema_hint_cast_heals_dtype_drift(ray_session):
+    """Schema hints are ENFORCED: blocks are cast to the declared
+    layout before the exchange, so an int32 parquet column under an
+    int64 hint (the c_nationkey drift) yields one consistent block
+    schema instead of an un-concatenatable mix — and the join result
+    carries the hinted type."""
+    import ray
+
+    left = pa.table({
+        "k": pa.array([1, 2, 3, 4], pa.int64()),
+        "lv": pa.array([10, 20, 30, 40], pa.int32()),   # actual int32
+    })
+    right = pa.table({
+        "rk": pa.array([2, 3, 5], pa.int64()),
+        "rv": pa.array([7, 8, 9], pa.int16()),          # actual int16
+    })
+    out = hash_join(
+        ray.data.from_arrow(left).repartition(2),
+        ray.data.from_arrow(right).repartition(2),
+        on="k", right_on="rk", num_buckets=4,
+        # hints declare WIDER types than the actual blocks carry
+        left_schema=pa.schema([("k", pa.int64()), ("lv", pa.int64())]),
+        right_schema=pa.schema([("rk", pa.int64()), ("rv", pa.int64())]),
+    ).to_pandas().sort_values("k").reset_index(drop=True)
+    assert list(out["k"]) == [2, 3]
+    assert list(out["lv"]) == [20, 30]
+    assert list(out["rv"]) == [7, 8]
