@@ -2,12 +2,15 @@
 
 Images/audio/video are carried as ``binary`` columns with metadata;
 decode / feature-extract / resize / frame-sample are actor-pool
-``map_batches`` stages. The image/audio codec libraries are NOT in
-this container, so the decode kernels are STUBBED (clearly marked):
-:func:`decode_image` raises ``NotImplementedError`` unless a decoder
-is importable, and :class:`PayloadFeaturizer` uses a deterministic
-content-hash fake feature so the Ray-side plumbing — schema, batch
-sizing, actor signature, output layout — is real and tested.
+``map_batches`` stages. Decode is REAL for the uncompressed classic
+formats — PPM/PGM (netpbm P6/P5) and 24-bit uncompressed BMP — via a
+pure-numpy parser (:func:`decode_image`), no codec library needed;
+compressed formats (JPEG/PNG/…) require a codec library that is NOT
+in this container and stay gated behind an import-try with an honest
+``NotImplementedError``. :class:`PayloadFeaturizer` uses a
+deterministic content-hash fake feature in place of a model forward
+pass so the Ray-side plumbing — schema, batch sizing, actor
+signature, output layout — is real and tested either way.
 
 Scale notes: binary payloads dominate block size — use small
 ``batch_size`` (payload-count, not bytes) and let the pool autoscale;
@@ -33,14 +36,99 @@ def _try_import_decoder():
         return None
 
 
-def decode_image(payload: bytes):
-    """STUB: real decode requires an image library not present here."""
+def sniff_format(payload: bytes) -> str | None:
+    """Magic-byte sniff for the natively-decodable formats."""
+    p = payload or b""
+    if p[:2] == b"P6":
+        return "ppm"
+    if p[:2] == b"P5":
+        return "pgm"
+    if p[:2] == b"BM":
+        return "bmp"
+    return None
+
+
+def _pnm_tokens(p: bytes, need: int) -> tuple[list[int], int]:
+    """Read `need` whitespace-separated integer header tokens after the
+    magic, skipping '#' comments; returns (tokens, pixel_data_offset).
+    Per the netpbm spec exactly ONE whitespace byte follows the last
+    header token before the raster."""
+    toks: list[int] = []
+    i = 2  # past magic
+    while len(toks) < need:
+        while i < len(p) and p[i:i + 1].isspace():
+            i += 1
+        if i < len(p) and p[i:i + 1] == b"#":
+            while i < len(p) and p[i:i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(p) and not p[j:j + 1].isspace():
+            j += 1
+        if j == i:
+            raise ValueError("truncated netpbm header")
+        toks.append(int(p[i:j]))
+        i = j
+    return toks, i + 1  # one whitespace byte after the last token
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Decode an image payload to a numpy array — (h, w, 3) uint8 for
+    color, (h, w) uint8 for grayscale.
+
+    REAL (pure numpy, no libraries) for the uncompressed classics:
+    netpbm P6 (PPM color) / P5 (PGM grayscale) with maxval ≤ 255, and
+    24-bit uncompressed bottom-up/top-down BMP. Compressed formats
+    need a codec library (PIL/opencv — absent in this container) and
+    raise ``NotImplementedError`` unless one is importable."""
+    p = payload or b""
+    fmt = sniff_format(p)
+    if fmt in ("ppm", "pgm"):
+        (w, h, maxval), off = _pnm_tokens(p, 3)
+        if maxval > 255:
+            raise ValueError("16-bit netpbm not supported")
+        ch = 3 if fmt == "ppm" else 1
+        need = h * w * ch
+        raster = np.frombuffer(p, np.uint8, count=need, offset=off)
+        return raster.reshape(h, w, 3) if ch == 3 else raster.reshape(h, w)
+    if fmt == "bmp":
+        import struct
+
+        data_off = struct.unpack_from("<I", p, 10)[0]
+        w, h_raw = struct.unpack_from("<ii", p, 18)
+        bpp = struct.unpack_from("<H", p, 28)[0]
+        comp = struct.unpack_from("<I", p, 30)[0]
+        if bpp != 24 or comp != 0:
+            raise ValueError(f"only 24-bit uncompressed BMP (got bpp={bpp},"
+                             f" compression={comp})")
+        h = abs(h_raw)
+        stride = ((w * 3 + 3) // 4) * 4
+        rows = np.frombuffer(p, np.uint8, count=h * stride,
+                             offset=data_off).reshape(h, stride)
+        img = rows[:, :w * 3].reshape(h, w, 3)[..., ::-1]  # BGR → RGB
+        if h_raw > 0:  # bottom-up storage
+            img = img[::-1]
+        return np.ascontiguousarray(img)
     dec = _try_import_decoder()
     if dec is None:
         raise NotImplementedError(
-            "image decode requires PIL/opencv (not in this container); "
-            "use PayloadFeaturizer's deterministic fake features instead")
-    return dec.open(payload)  # pragma: no cover
+            "compressed-image decode requires PIL/opencv (not in this "
+            "container); PPM/PGM/24-bit-BMP decode natively, and "
+            "PayloadFeaturizer's deterministic fake features cover the "
+            "rest of the plumbing")
+    import io
+    return np.asarray(dec.open(io.BytesIO(p)))  # pragma: no cover
+
+
+def to_gray(img: np.ndarray) -> np.ndarray:
+    """(h, w[, 3]) uint8 → (h, w) uint8 luma — integer ITU-R 601
+    arithmetic so the result is bit-stable across platforms."""
+    if img.ndim == 2:
+        return img
+    r = img[..., 0].astype(np.int64)
+    g = img[..., 1].astype(np.int64)
+    b = img[..., 2].astype(np.int64)
+    return ((299 * r + 587 * g + 114 * b) // 1000).astype(np.uint8)
 
 
 def fake_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
@@ -119,9 +207,10 @@ class ImageResizer:
     """Actor-pool worker: (key, payload) → fixed-shape resized pixel
     tensors as ``list<uint8>`` of length out_h×out_w (the flat layout
     every Arrow consumer — and Ray's tensor extension — can read
-    zero-copy). Decode is the deterministic fake (STUB — codec libs
-    absent here); a real build replaces ``fake_decode`` with
-    ``decode_image`` loaded once per actor in ``__init__``."""
+    zero-copy). Payloads that sniff as a natively-decodable format
+    (PPM/PGM/24-bit BMP) go through the REAL ``decode_image`` → luma →
+    resize path; anything else (html, compressed formats) falls back
+    to the deterministic ``fake_decode`` so the plumbing stays total."""
 
     def __init__(self, payload_col: str = "html", key_col: str = "url",
                  src_hw: tuple = (16, 16), out_hw: tuple = (4, 4)):
@@ -130,9 +219,17 @@ class ImageResizer:
         self.src_hw = src_hw
         self.out_hw = out_hw
 
+    def _gray(self, p: bytes) -> np.ndarray:
+        if sniff_format(p):
+            try:
+                return to_gray(decode_image(p))
+            except ValueError:
+                pass  # malformed/unsupported variant → fake path
+        return fake_decode(p, *self.src_hw)
+
     def __call__(self, t: pa.Table) -> pa.Table:
         oh, ow = self.out_hw
-        pix = [resize_nn(fake_decode(p, *self.src_hw), oh, ow).reshape(-1)
+        pix = [resize_nn(self._gray(p), oh, ow).reshape(-1)
                for p in t[self.payload_col].to_pylist()]
         return pa.table({
             self.key_col: t[self.key_col],

@@ -88,3 +88,90 @@ def test_frame_sampler_explode_and_determinism(ray_session, tiny_corpus):
                                       concurrency=(1, 2)).to_pandas()
     assert frames["url"].nunique() == 240
     assert (frames.groupby("url")["frame_idx"].min() == 0).all()
+
+
+def _ppm_bytes(img):
+    h, w, _ = img.shape
+    return b"P6\n# comment\n%d %d\n255\n" % (w, h) + img.tobytes()
+
+
+def _pgm_bytes(img):
+    h, w = img.shape
+    return b"P5 %d %d 255 " % (w, h) + img.tobytes()
+
+
+def _bmp_bytes(img, top_down=False):
+    """Minimal 24-bit uncompressed BMP from an (h, w, 3) RGB array."""
+    import struct
+
+    h, w, _ = img.shape
+    stride = ((w * 3 + 3) // 4) * 4
+    rows = []
+    order = range(h) if top_down else range(h - 1, -1, -1)
+    for r in order:
+        bgr = img[r][:, ::-1].tobytes()
+        rows.append(bgr + b"\x00" * (stride - len(bgr)))
+    pixels = b"".join(rows)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, -h if top_down else h,
+                      1, 24, 0, len(pixels), 2835, 2835, 0, 0)
+    header = b"BM" + struct.pack("<IHHI", 14 + 40 + len(pixels), 0, 0,
+                                 14 + 40)
+    return header + dib + pixels
+
+
+@pytest.fixture()
+def rgb_img():
+    rng = np.random.default_rng(42)
+    return rng.integers(0, 256, size=(6, 5, 3), dtype=np.uint8)
+
+
+def test_decode_ppm_real(rgb_img):
+    out = multimodal.decode_image(_ppm_bytes(rgb_img))
+    assert out.dtype == np.uint8 and out.shape == rgb_img.shape
+    np.testing.assert_array_equal(out, rgb_img)
+
+
+def test_decode_pgm_real(rgb_img):
+    gray = rgb_img[..., 0]
+    out = multimodal.decode_image(_pgm_bytes(gray))
+    np.testing.assert_array_equal(out, gray)
+
+
+@pytest.mark.parametrize("top_down", [False, True])
+def test_decode_bmp_real(rgb_img, top_down):
+    out = multimodal.decode_image(_bmp_bytes(rgb_img, top_down=top_down))
+    np.testing.assert_array_equal(out, rgb_img)
+
+
+def test_decode_rejects_unsupported_variants(rgb_img):
+    with pytest.raises(ValueError):
+        multimodal.decode_image(b"P6 2 2 65535 " + b"\x00" * 24)  # 16-bit
+    bad = bytearray(_bmp_bytes(rgb_img))
+    bad[28] = 8  # 8-bit palette BMP
+    with pytest.raises(ValueError):
+        multimodal.decode_image(bytes(bad))
+
+
+def test_image_resizer_native_decode_path(ray_session, rgb_img):
+    """Payloads that sniff as PPM/BMP go through the REAL decode →
+    luma → nearest-neighbor resize; html payloads keep the fake path."""
+    import ray
+
+    want = multimodal.resize_nn(multimodal.to_gray(rgb_img), 4, 4) \
+        .reshape(-1)
+    t = pa.table({
+        "url": ["ppm", "bmp", "html"],
+        "html": pa.array([_ppm_bytes(rgb_img), _bmp_bytes(rgb_img),
+                          b"<html><body>x</body></html>"], pa.binary()),
+    })
+    out = ray.data.from_arrow(t).map_batches(
+        multimodal.ImageResizer, batch_format="pyarrow",
+        concurrency=1,
+        fn_constructor_kwargs={"out_hw": (4, 4)}).to_pandas() \
+        .set_index("url")
+    np.testing.assert_array_equal(np.array(out.loc["ppm", "pixels"]), want)
+    np.testing.assert_array_equal(np.array(out.loc["bmp", "pixels"]), want)
+    fake = multimodal.resize_nn(
+        multimodal.fake_decode(b"<html><body>x</body></html>", 16, 16),
+        4, 4).reshape(-1)
+    np.testing.assert_array_equal(np.array(out.loc["html", "pixels"]), fake)
