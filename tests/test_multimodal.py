@@ -175,3 +175,63 @@ def test_image_resizer_native_decode_path(ray_session, rgb_img):
         multimodal.fake_decode(b"<html><body>x</body></html>", 16, 16),
         4, 4).reshape(-1)
     np.testing.assert_array_equal(np.array(out.loc["html", "pixels"]), fake)
+
+
+def _wav_bytes(samples, rate=8000, bits=16, n_ch=1):
+    import struct
+
+    if bits == 8:
+        data = (np.asarray(samples) + 128).astype(np.uint8).tobytes()
+    elif bits == 16:
+        data = np.asarray(samples, dtype="<i2").tobytes()
+    else:
+        data = np.asarray(samples, dtype="<i4").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, n_ch, rate,
+                      rate * n_ch * bits // 8, n_ch * bits // 8, bits)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt \
+        + b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_decode_wav_real_roundtrip():
+    x = (np.sin(np.linspace(0, 20, 800)) * 20000).astype(np.int16)
+    got, rate = multimodal.decode_wav(_wav_bytes(x, rate=16000))
+    assert rate == 16000
+    np.testing.assert_array_equal(got, x)
+    # stereo reshapes to (n, 2)
+    st = np.stack([x, -x], axis=1).reshape(-1)
+    got2, _ = multimodal.decode_wav(_wav_bytes(st, n_ch=2))
+    assert got2.shape == (800, 2)
+    np.testing.assert_array_equal(got2[:, 0], x)
+    # 8-bit path
+    b8 = multimodal.decode_wav(_wav_bytes(np.array([0, 127, -128]), bits=8))
+    np.testing.assert_array_equal(b8[0], [0, 127, -128])
+
+
+def test_decode_wav_rejects_non_pcm():
+    bad = bytearray(_wav_bytes(np.zeros(4, np.int16)))
+    bad[20] = 85  # format tag 0x55 (mp3)
+    with pytest.raises(ValueError):
+        multimodal.decode_wav(bytes(bad))
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_wav(b"\xff\xfbmp3frame")
+
+
+def test_audio_featurizer_native_and_fallback(ray_session):
+    import ray
+
+    x = (np.sin(np.linspace(0, 50, 4000)) * 10000).astype(np.int16)
+    wav = _wav_bytes(x, rate=8000)
+    t = pa.table({"url": ["wav", "html"],
+                  "html": pa.array([wav, b"<html>x</html>"], pa.binary())})
+    out = ray.data.from_arrow(t).map_batches(
+        multimodal.AudioFeaturizer, batch_format="pyarrow",
+        concurrency=1).to_pandas().set_index("url")
+    # native path: 25ms @ 8kHz = 200-sample frames → 20 frames
+    assert out.loc["wav", "sample_rate"] == 8000
+    assert out.loc["wav", "n_frames"] == 20
+    want = multimodal.audio_frame_features(x, 8000).reshape(-1)
+    np.testing.assert_allclose(np.array(out.loc["wav", "features"]), want)
+    # fallback path: fake features, n_frames 0
+    assert out.loc["html", "n_frames"] == 0
+    assert len(out.loc["html", "features"]) == multimodal.FEATURE_DIM
