@@ -84,3 +84,32 @@ def test_gff_line_parser_never_crashes(payload, ncols):
     line = "\t".join([payload] * max(ncols, 1))
     rec, err = parse_gff_line(line)
     assert rec is None or rec["seqname"] is not None
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=7), min_size=0,
+                max_size=200),
+       st.integers(min_value=1, max_value=8))
+def test_split_one_partitions_exactly(buckets, num_buckets):
+    """The exchange's split kernel partitions a block exactly: every
+    row lands in the slice of its bucket id, no row is lost or
+    duplicated, and the bucket column is stripped."""
+    import numpy as np
+    import pyarrow as pa
+
+    from gfftoneo4j_ray.ops.exchange import _split_one
+
+    buckets = [b % num_buckets for b in buckets]
+    t = pa.table({
+        "v": pa.array(list(range(len(buckets))), pa.int64()),
+        "_rb": pa.array(buckets, pa.int32()),
+    })
+    parts = _split_one(t, "_rb", num_buckets)
+    assert len(parts) == num_buckets
+    seen = []
+    for b, part in enumerate(parts):
+        assert part.column_names == ["v"]
+        vals = part["v"].to_pylist()
+        assert all(buckets[v] == b for v in vals)
+        seen.extend(vals)
+    assert sorted(seen) == list(range(len(buckets)))
