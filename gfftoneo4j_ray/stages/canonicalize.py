@@ -87,8 +87,14 @@ def build_canonical_mapping(linked_ds, num_partitions: int = 64) -> dict:
     from ..ops.exchange import bucket_exchange
     from ..ops.hashagg import append_bucket
 
+    # the pair volume is alias-universe-bounded (it does NOT grow with
+    # corpus size), so a small fixed reduce fan-out is right at every
+    # scale — more buckets only multiply the exchange's O(blocks ×
+    # buckets) slice objects (128 upstream blocks × 64 buckets = 8k
+    # objects for a few thousand pair rows, measured ~2.4 s of the 20k-
+    # page headline; 16 buckets quarters it)
     cpus = int(ray.cluster_resources().get("CPU", 32)) or 32
-    num_partitions = max(8, min(num_partitions, 2 * cpus))
+    num_partitions = max(8, min(num_partitions, 2 * cpus, 16))
 
     def add_bucket(t: pa.Table) -> pa.Table:
         return append_bucket(t, ["surface"], num_partitions, name="_rb")
