@@ -100,6 +100,89 @@ def exact_dedup(docs_ds, text_col: str = "text", id_col: str = "doc_id"):
         .select_columns([id_col, "n_dups"])
 
 
+def line_dedup(docs_ds, max_doc_freq: int = 2, text_col: str = "text",
+               id_col: str = "doc_id", num_buckets: int = 32):
+    """CCNet-style line-level dedup: drop every line whose exact
+    content appears in MORE than ``max_doc_freq`` distinct documents
+    (boilerplate headers/footers/navigation), reassembling each
+    document's surviving lines in their original order.
+
+    Layout (all engine primitives, no driver materialization):
+      1. explode docs → (doc_id, line_idx, line, line_hash) — one
+         vectorized pandas split/explode per batch;
+      2. per-line-hash distinct-document counts via the two-phase
+         hashagg over map-side distinct (hash, doc) pairs — shuffle
+         volume = distinct pairs, never raw lines;
+      3. one bucketed shuffle join attaches the count to each line row;
+      4. filter + per-doc reassembly (sort by line_idx inside a
+         doc-bucketed exchange).
+    Returns (doc_id, text); a document whose every line is dropped
+    disappears from the output (the CCNet behavior — fully-boilerplate
+    documents are removed). Scale note: boilerplate hashes are heavy
+    hitters, but the count table carries ONE row per distinct line
+    hash, and the join fans counts back out map-side per bucket."""
+    import pandas as pd
+
+    from ..functions.hashing import stable_hash64
+    from ..ops.exchange import bucketed_map_groups
+    from ..ops.hashagg import append_bucket, hash_aggregate
+    from ..ops.join import hash_join
+
+    def explode(t: pa.Table) -> pa.Table:
+        df = t.select([id_col, text_col]).to_pandas()
+        df[text_col] = df[text_col].fillna("").str.split("\n")
+        df = df.explode(text_col, ignore_index=True)
+        df["line_idx"] = df.groupby(id_col, sort=False).cumcount()
+        df = df.rename(columns={text_col: "line"})
+        df["line"] = df["line"].fillna("")  # empty doc → one empty line
+        h = stable_hash64(df["line"].tolist()).astype(np.int64)
+        return pa.table({
+            id_col: pa.array(df[id_col].to_numpy(np.int64), pa.int64()),
+            "line_idx": pa.array(df["line_idx"].to_numpy(np.int64),
+                                 pa.int64()),
+            "line": pa.array(df["line"].to_numpy(), pa.string()),
+            "line_hash": pa.array(h, pa.int64()),
+        })
+
+    lines = docs_ds.map_batches(explode, batch_format="pyarrow")
+
+    def local_pairs(t: pa.Table) -> pa.Table:
+        return t.select(["line_hash", id_col]) \
+            .group_by(["line_hash", id_col]).aggregate([])
+
+    counts = hash_aggregate(
+        lines.map_batches(local_pairs, batch_format="pyarrow"),
+        "line_hash", [(id_col, "count", "doc_freq")],
+        num_buckets=num_buckets)
+
+    joined = hash_join(
+        lines, counts, on="line_hash", num_buckets=num_buckets,
+        left_schema=pa.schema([(id_col, pa.int64()),
+                               ("line_idx", pa.int64()),
+                               ("line", pa.string()),
+                               ("line_hash", pa.int64())]),
+        right_schema=pa.schema([("line_hash", pa.int64()),
+                                ("doc_freq", pa.int64())]))
+
+    def keep_and_bucket(t: pa.Table) -> pa.Table:
+        kept = t.filter(pc.less_equal(t["doc_freq"],
+                                      pa.scalar(max_doc_freq, pa.int64())))
+        return append_bucket(kept.select([id_col, "line_idx", "line"]),
+                             [id_col], num_buckets)
+
+    def reassemble(g: pa.Table) -> pa.Table:
+        df = g.to_pandas().sort_values([id_col, "line_idx"],
+                                       kind="mergesort")
+        out = df.groupby(id_col, sort=True)["line"].agg("\n".join)
+        return pa.table({id_col: pa.array(out.index.to_numpy(np.int64),
+                                          pa.int64()),
+                         text_col: pa.array(out.to_numpy(), pa.string())})
+
+    return bucketed_map_groups(
+        joined.map_batches(keep_and_bucket, batch_format="pyarrow"),
+        num_buckets, reassemble)
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH near-dup
 # ---------------------------------------------------------------------------

@@ -252,3 +252,41 @@ def test_simhash_neardup_matches_bruteforce(ray_session):
         [(int(a), int(b), int(h)) for a, b, h in exp]
     with pytest.raises(ValueError):
         dedup.simhash_neardup_pairs(ds, max_hamming=4)
+
+
+def test_line_dedup_ccnet_semantics(ray_session):
+    """Lines appearing in more than max_doc_freq distinct documents are
+    dropped; surviving lines keep their original order; a document with
+    only boilerplate lines disappears; repeats WITHIN one doc don't
+    count toward the doc frequency."""
+    import ray
+
+    boiler = "subscribe to our newsletter"
+    docs = {
+        0: f"{boiler}\nalpha one\nalpha two",
+        1: f"beta one\n{boiler}\nbeta two",
+        2: f"gamma one\ngamma two\n{boiler}",
+        3: boiler,                          # fully boilerplate → dropped
+        4: "delta one\ndelta one\ndelta two",  # intra-doc repeat kept
+        5: "",                               # empty doc: "" is unique-ish
+    }
+    t = pa.table({"doc_id": pa.array(list(docs), pa.int64()),
+                  "text": pa.array(list(docs.values()), pa.string())})
+    out = dedup.line_dedup(ray.data.from_arrow(t).repartition(3),
+                           max_doc_freq=2).to_pandas() \
+        .set_index("doc_id")["text"].to_dict()
+
+    # reference implementation
+    from collections import Counter
+    freq = Counter()
+    for txt in docs.values():
+        for ln in set(txt.split("\n")):
+            freq[ln] += 1
+    want = {}
+    for d, txt in docs.items():
+        kept = [ln for ln in txt.split("\n") if freq[ln] <= 2]
+        if kept:
+            want[d] = "\n".join(kept)
+    assert out == want
+    assert 3 not in out          # fully-boilerplate doc removed
+    assert out[4] == docs[4]     # intra-doc repeats survive
