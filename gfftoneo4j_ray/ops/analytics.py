@@ -225,3 +225,76 @@ def q_quality_filter(sf_dir: str):
         })
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (n-gram overlap vs a probe/benchmark set)
+# ---------------------------------------------------------------------------
+
+def _ngram_weights(n: int, seed: int = 97) -> np.ndarray:
+    """Fixed per-position odd multipliers for the rolling n-gram mix."""
+    rng = np.random.default_rng(seed)
+    return (rng.integers(1, 1 << 62, size=n, dtype=np.uint64) * 2 + 1)
+
+
+def _tokenize_one(text: str) -> list[str]:
+    import re as _re
+
+    return [w for w in _re.split(TOKEN_SPLIT, (text or "").lower()) if w]
+
+
+def _ngram_hashes(tokens: list[str], n: int,
+                  weights: np.ndarray) -> np.ndarray:
+    """All n-gram hashes of a token list, vectorized: hash each token
+    once (stable_hash64), then combine every length-n window with one
+    sliding-window × weights matmul (wrap-around mod 2^64)."""
+    from ..functions.hashing import stable_hash64
+
+    if len(tokens) < n:
+        return np.empty(0, np.uint64)
+    th = stable_hash64(tokens).astype(np.uint64)
+    win = np.lib.stride_tricks.sliding_window_view(th, n)
+    with np.errstate(over="ignore"):
+        return (win * weights[None, :]).sum(axis=1, dtype=np.uint64)
+
+
+def build_probe_set(probe_texts: list[str], n: int = 8) -> np.ndarray:
+    """Benchmark texts → sorted unique n-gram hash array (the broadcast
+    side — bounded by the benchmark suite size, not the corpus)."""
+    w = _ngram_weights(n)
+    hs = [_ngram_hashes(_tokenize_one(t), n, w) for t in probe_texts]
+    return np.unique(np.concatenate(hs)) if hs else np.empty(0, np.uint64)
+
+
+def contamination_flags(docs_ds, probe_texts: list[str], n: int = 8,
+                        text_col: str = "text", id_col: str = "doc_id"):
+    """Decontamination scan: per document, the number of its n-grams
+    that appear in the probe (benchmark) set → (doc_id, n_hits);
+    filter ``n_hits > 0`` to drop contaminated documents.
+
+    Scale layout: the probe hash set is built driver-side (bounded by
+    the benchmark suite), ``ray.put`` ONCE, and searchsorted inside
+    every map task — a pure map-side scan, no shuffle at all; the
+    token hashing + window mix is the vectorized kernel above."""
+    import ray
+
+    w = _ngram_weights(n)
+    probe_ref = ray.put(build_probe_set(probe_texts, n))
+
+    def scan(t: pa.Table) -> pa.Table:
+        from ..stages.dedup import _cached_get
+
+        probe = _cached_get(probe_ref)
+        hits = []
+        for txt in t[text_col].to_pylist():
+            hs = _ngram_hashes(_tokenize_one(txt), n, w)
+            if len(hs) == 0 or len(probe) == 0:
+                hits.append(0)
+                continue
+            pos = np.searchsorted(probe, hs)
+            pos_c = np.minimum(pos, len(probe) - 1)
+            hits.append(int((probe[pos_c] == hs).sum()))
+        return pa.table({id_col: t[id_col],
+                         "n_hits": pa.array(hits, pa.int64())})
+
+    return docs_ds.map_batches(scan, batch_format="pyarrow")

@@ -210,3 +210,37 @@ def test_pagerank_matches_dense_reference(ray_session):
     assert len(got) == nn
     for node, val in zip(got["node"], got["pr"]):
         assert abs(val - want[node]) < 1e-12
+
+
+def test_contamination_flags(ray_session):
+    """Docs containing any probe n-gram are flagged with exact hit
+    counts; clean docs are 0; casing/punctuation normalize through the
+    shared tokenizer."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from gfftoneo4j_ray.ops.analytics import (build_probe_set,
+                                              contamination_flags)
+
+    bench_q = "what is the capital of france paris is the capital"
+    probe = [bench_q]
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array([
+            # verbatim containment (different case + punctuation)
+            "Quiz time! What is the CAPITAL of France? Paris is the capital.",
+            "totally unrelated text about ray data exchanges and parquet",
+            # partial overlap shorter than n -> clean
+            "the capital of germany",
+            "",
+        ], pa.string()),
+    })
+    out = contamination_flags(ray.data.from_arrow(docs).repartition(2),
+                              probe, n=8).to_pandas() \
+        .set_index("doc_id")["n_hits"].to_dict()
+    # doc 0 contains the probe's token stream (10 tokens) => 3 8-grams
+    # of the probe all present consecutively
+    assert out[0] == 3
+    assert out[1] == 0 and out[2] == 0 and out[3] == 0
+    assert len(build_probe_set(probe, n=8)) == 3
