@@ -298,3 +298,91 @@ def contamination_flags(docs_ds, probe_texts: list[str], n: int = 8,
                          "n_hits": pa.array(hits, pa.int64())})
 
     return docs_ds.map_batches(scan, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing + deterministic mixture sampling (training-batch prep)
+# ---------------------------------------------------------------------------
+
+def pack_sequences(docs_ds, budget_tokens: int = 2048,
+                   text_col: str = "text", id_col: str = "doc_id",
+                   num_buckets: int = 32):
+    """Pack documents into fixed token-budget training sequences:
+    first-fit-decreasing WITHIN each hash bucket of documents →
+    (pack_id, doc_id, n_tokens). Every document appears exactly once;
+    each pack's token total is ≤ budget unless it holds a single
+    oversized document (emitted alone — splitting is the tokenizer's
+    concern). pack_id = bucket * 2^32 + bin index (deterministic, no
+    coordination across buckets).
+
+    Partitioning assumption (documented per the custom-operator rule):
+    packing is bucket-local, so cross-bucket consolidation is traded
+    for a shuffle-free scale-out — the fill loss is bounded by one
+    partially-filled pack per bucket. Token counts are the shared
+    whitespace-token kernel (textstats), computed map-side; only
+    (doc_id, n_tokens) rows enter the exchange."""
+    from ..functions.textstats import text_stats_batch
+    from .exchange import bucketed_map_groups
+
+    def sizes(t: pa.Table) -> pa.Table:
+        s = text_stats_batch(t, text_col=text_col, id_col=id_col)
+        out = s.select([id_col, "n_tokens"])
+        return append_bucket(out, [id_col], num_buckets)
+
+    def pack_bucket(g: pa.Table) -> pa.Table:
+        df = g.to_pandas().sort_values(["n_tokens", id_col],
+                                       ascending=[False, True],
+                                       kind="mergesort")
+        if len(df) == 0:
+            return pa.schema([("pack_id", pa.int64()),
+                              (id_col, pa.int64()),
+                              ("n_tokens", pa.int64())]).empty_table()
+        # the bucket id was stripped by the exchange; recover it from
+        # any member (all rows share it by construction)
+        from ..ops.hashagg import _bucket_column
+        b = int(_bucket_column(g.slice(0, 1), [id_col],
+                               num_buckets)[0].as_py())
+        fills: list[int] = []     # current token total per open bin
+        assign: list[int] = []
+        for n in df["n_tokens"]:
+            n = int(n)
+            for i, f in enumerate(fills):  # first fit
+                if f + n <= budget_tokens:
+                    fills[i] = f + n
+                    assign.append(i)
+                    break
+            else:
+                fills.append(n)
+                assign.append(len(fills) - 1)
+        return pa.table({
+            "pack_id": pa.array((np.int64(b) << np.int64(32))
+                                + np.asarray(assign, np.int64), pa.int64()),
+            id_col: pa.array(df[id_col].to_numpy(np.int64), pa.int64()),
+            "n_tokens": pa.array(df["n_tokens"].to_numpy(np.int64),
+                                 pa.int64()),
+        })
+
+    return bucketed_map_groups(
+        docs_ds.map_batches(sizes, batch_format="pyarrow"),
+        num_buckets, pack_bucket)
+
+
+def mixture_sample(ds, rates_by_key: dict, key_col: str,
+                   id_col: str, scale: int = 10000):
+    """Deterministic stratified mixture sampling: keep a row iff
+    hash(id) % scale < rate(key) × scale — the data-mixing step of a
+    training pipeline (e.g. downsample low-quality buckets, keep all
+    high-quality). Pure map-side, reproducible under any partitioning;
+    unknown keys default to rate 0.0 (dropped)."""
+    from ..functions.hashing import stable_hash64
+
+    thresholds = {k: int(round(v * scale)) for k, v in rates_by_key.items()}
+
+    def keep(t: pa.Table) -> pa.Table:
+        h = stable_hash64(t[id_col].to_pylist()) % np.uint64(scale)
+        keys = t[key_col].to_pylist()
+        thr = np.fromiter((thresholds.get(k, 0) for k in keys),
+                          np.int64, len(keys))
+        return t.filter(pa.array(h.astype(np.int64) < thr))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

@@ -244,3 +244,68 @@ def test_contamination_flags(ray_session):
     assert out[0] == 3
     assert out[1] == 0 and out[2] == 0 and out[3] == 0
     assert len(build_probe_set(probe, n=8)) == 3
+
+
+def test_pack_sequences_invariants(ray_session):
+    """Every doc packed exactly once; per-pack totals within budget
+    unless a single oversized doc; deterministic across partitioning."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from gfftoneo4j_ray.ops.analytics import pack_sequences
+
+    rng = np.random.default_rng(3)
+    texts = ["tok " * int(n) for n in rng.integers(1, 900, 300)]
+    texts.append("tok " * 5000)  # oversized: must land alone
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+
+    def run(parts):
+        return pack_sequences(
+            ray.data.from_arrow(t).repartition(parts),
+            budget_tokens=2048).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+
+    out = run(4)
+    assert sorted(out["doc_id"]) == list(range(len(texts)))
+    per_pack = out.groupby("pack_id").agg(total=("n_tokens", "sum"),
+                                          n=("doc_id", "count"))
+    over = per_pack[per_pack["total"] > 2048]
+    assert (over["n"] == 1).all()  # only single-doc packs may overflow
+    big = out[out["doc_id"] == len(texts) - 1]
+    assert per_pack.loc[big["pack_id"].iloc[0], "n"] == 1
+    # deterministic under a different partitioning
+    assert run(9).equals(out)
+
+
+def test_mixture_sample_rates_and_determinism(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from gfftoneo4j_ray.ops.analytics import mixture_sample
+
+    n = 20000
+    t = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "quality": pa.array(["hi" if i % 4 == 0 else "lo"
+                             for i in range(n)], pa.string()),
+    })
+    rates = {"hi": 1.0, "lo": 0.25}
+    out = mixture_sample(ray.data.from_arrow(t).repartition(5), rates,
+                         key_col="quality", id_col="doc_id").to_pandas()
+    hi = out[out["quality"] == "hi"]
+    lo = out[out["quality"] == "lo"]
+    assert len(hi) == n // 4                      # rate 1.0 keeps all
+    assert abs(len(lo) / (0.75 * n) - 0.25) < 0.02
+    # deterministic across partitioning
+    out2 = mixture_sample(ray.data.from_arrow(t).repartition(11), rates,
+                          key_col="quality", id_col="doc_id").to_pandas()
+    assert sorted(out2["doc_id"]) == sorted(out["doc_id"])
+    # unknown keys drop
+    t2 = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                   "quality": pa.array(["??", "hi"], pa.string())})
+    out3 = mixture_sample(ray.data.from_arrow(t2), rates,
+                          key_col="quality", id_col="doc_id").to_pandas()
+    assert list(out3["quality"]) == ["hi"]
