@@ -72,7 +72,12 @@ def _ensure_kg_run(sf_dir: str) -> dict:
     os.makedirs(out, exist_ok=True)
     dict_path = os.path.join(out, "dictionary.parquet")
     if not os.path.exists(dict_path):
-        pq.write_table(dictionary_table(), dict_path)
+        # atomic tmp+rename (same rule as the pages dir): a crash
+        # between write and first read must not leave a half-written
+        # dictionary that would poison every later kg_* query
+        tmp = dict_path + ".tmp"
+        pq.write_table(dictionary_table(), tmp)
+        os.replace(tmp, dict_path)
     pages_path = os.path.join(out, "pages")
     if not os.path.exists(os.path.join(pages_path, "_DERIVED")):
         # atomic: write to tmp, rename, then marker — a crash mid-write

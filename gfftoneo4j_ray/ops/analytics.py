@@ -97,10 +97,6 @@ def q_tfidf(sf_dir: str, max_doc_id: int = 200, topk: int = 3):
 
     ds = _docs(sf_dir)
 
-    def explode(t: pa.Table) -> pa.Table:
-        flat, parent = _tokens_flat(t["text"])
-        return pa.table({"doc_id": t["doc_id"].take(parent), "w": flat})
-
     def tf_partial(t: pa.Table) -> pa.Table:
         t = t.filter(pc.less(t["doc_id"], max_doc_id))
         flat, parent = _tokens_flat(t["text"])

@@ -105,6 +105,27 @@ def reduce_refs(splits: list, num_buckets: int, reduce_fn, *,
     return out
 
 
+def _probe_empty_schema(ds, bucket_col: str, reduce_fn) -> pa.Schema:
+    """Derive the output schema of a zero-block exchange by running
+    ``reduce_fn`` once, driver-side, on a 0-row table of the input
+    dataset's schema (bucket column stripped — the same shape a reduce
+    task sees). Every exchange kernel is 0-row-safe by contract, so the
+    probe is exact whenever the input schema is recoverable; when it
+    isn't (a truly schema-less empty dataset), fall back to the old
+    zero-column behavior."""
+    try:
+        s = ds.schema(fetch_if_missing=False)
+        base = getattr(s, "base_schema", None)
+        if base is None:
+            return pa.schema([])
+        probe_in = base.empty_table()
+        if bucket_col in probe_in.column_names:
+            probe_in = probe_in.drop_columns([bucket_col])
+        return reduce_fn(0, probe_in).schema
+    except Exception:
+        return pa.schema([])
+
+
 def bucket_exchange(ds, num_buckets: int, reduce_fn, *,
                     bucket_col: str = "_rb") -> list:
     """Exchange ``ds`` (a Dataset whose blocks carry ``bucket_col``
@@ -136,6 +157,10 @@ def bucketed_map_groups(ds, num_buckets: int, fn, *,
         schema-correct 0-row table (Dataset map_groups skips empty
         groups entirely) and must return a 0-row table of the OUTPUT
         schema — all-vectorized kernels do this for free.
+
+    Executes EAGERLY at call time (the exchange drains the upstream):
+    a lazy upstream shared with another eager consumer is recomputed
+    once per consumer — ``materialize()`` shared upstreams.
     """
     def reduce(b: int, t: pa.Table | None) -> pa.Table:
         if t is None:  # zero-block input
@@ -154,12 +179,23 @@ def bucket_exchange_ds(ds, num_buckets: int, reduce_fn, *,
     (``from_arrow_refs`` over the un-gotten reduce refs) — for
     exchanges that feed further pipeline stages rather than the
     driver. ``empty_schema`` supplies the result schema when the
-    input has no blocks."""
+    input has no ref bundles at all (a filter-to-empty upstream still
+    emits schema-correct 0-row blocks and never hits this path); when
+    it is omitted, the zero-block result schema is derived by probing
+    ``reduce_fn`` with a 0-row input of the dataset's schema, falling
+    back to a zero-column table only when no schema is recoverable —
+    so downstream column access keeps working on empty pipelines.
+
+    NOTE this operator executes EAGERLY at call time (``split_refs``
+    drains the upstream): a lazy upstream shared with another eager
+    consumer is recomputed once per consumer — ``materialize()`` shared
+    upstreams at the call site (see stages/dedup.line_dedup)."""
     import ray
 
     splits = split_refs(ds, num_buckets, bucket_col=bucket_col)
     if not splits:
-        schema = empty_schema or pa.schema([])
-        return ray.data.from_arrow(schema.empty_table())
+        if empty_schema is None:
+            empty_schema = _probe_empty_schema(ds, bucket_col, reduce_fn)
+        return ray.data.from_arrow(empty_schema.empty_table())
     return ray.data.from_arrow_refs(
         reduce_refs(splits, num_buckets, reduce_fn))

@@ -132,6 +132,9 @@ def hash_aggregate(ds, keys: str | list[str],
     # `final` returns a typed empty table — no schema hints needed.
     # Results stay in the object store (from_arrow_refs), one block
     # per bucket.
+    # NOTE: executes eagerly at call time (the exchange drains the
+    # upstream) — a lazy upstream shared with another eager consumer
+    # is recomputed once per consumer; materialize() shared upstreams.
     from .exchange import bucket_exchange_ds
 
     def reduce(b: int, t: pa.Table | None) -> pa.Table:
@@ -139,9 +142,24 @@ def hash_aggregate(ds, keys: str | list[str],
             return pa.table({})
         return final(t)
 
+    # derive the typed output schema for the zero-block case (an input
+    # dataset with no ref bundles at all) by running the partial+final
+    # kernels on a 0-row table of the input schema, when it is known —
+    # keeps empty pipelines schema-correct for downstream column access
+    empty_schema = None
+    try:
+        base = getattr(ds.schema(fetch_if_missing=False), "base_schema",
+                       None)
+        if base is not None:
+            empty_schema = final(
+                partial(base.empty_table()).drop_columns(["bucket"])).schema
+    except Exception:
+        pass
+
     mapped = ds.map_batches(partial, batch_format="pyarrow")
     return bucket_exchange_ds(mapped, num_buckets, reduce,
-                              bucket_col="bucket")
+                              bucket_col="bucket",
+                              empty_schema=empty_schema)
 
 
 def hash_count(ds, keys: str | list[str], out_name: str = "n",

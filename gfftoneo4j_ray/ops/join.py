@@ -204,5 +204,11 @@ def hash_join(left_ds, right_ds, on, *, right_on=None, how: str = "inner",
             return pa.table({})
         return join_bucket(g)
 
+    # the output layout is fully declared, so the zero-block case (both
+    # sides with no ref bundles at all) gets a typed empty schema —
+    # downstream column access keeps working on empty pipelines
+    typ = dict(layout)
+    empty_schema = pa.schema([(n, typ[n]) for n in out_names])
     return bucket_exchange_ds(both, num_buckets, reduce,
-                              bucket_col="__jbucket")
+                              bucket_col="__jbucket",
+                              empty_schema=empty_schema)

@@ -136,25 +136,38 @@ def line_dedup(docs_ds, max_doc_freq: int = 2, text_col: str = "text",
         df = df.rename(columns={text_col: "line"})
         df["line"] = df["line"].fillna("")  # empty doc → one empty line
         h = stable_hash64(df["line"].tolist()).astype(np.int64)
+        # the per-(doc, line_hash) distinct marker is stamped HERE, in
+        # the same task that holds the whole exploded document — per-doc
+        # locality is contractual, not fusion-dependent (Ray may re-split
+        # blocks between unfused operators, so a downstream per-batch
+        # distinct could double-count repeated lines within one doc)
+        df["line_hash"] = h
+        first = ~df.duplicated([id_col, "line_hash"])
         return pa.table({
             id_col: pa.array(df[id_col].to_numpy(np.int64), pa.int64()),
             "line_idx": pa.array(df["line_idx"].to_numpy(np.int64),
                                  pa.int64()),
             "line": pa.array(df["line"].to_numpy(), pa.string()),
             "line_hash": pa.array(h, pa.int64()),
+            "first_in_doc": pa.array(first.to_numpy(np.bool_), pa.bool_()),
         })
 
-    lines = docs_ds.map_batches(explode, batch_format="pyarrow")
+    # both consumers below (hash_aggregate and hash_join) execute
+    # EAGERLY at call time, so a shared lazy upstream would re-run the
+    # docs read + explode once per consumer — pin it once
+    lines = docs_ds.map_batches(explode,
+                                batch_format="pyarrow").materialize()
 
     def local_pairs(t: pa.Table) -> pa.Table:
-        return t.select(["line_hash", id_col]) \
-            .group_by(["line_hash", id_col]).aggregate([])
+        return t.filter(t["first_in_doc"]).select(["line_hash", id_col])
 
     counts = hash_aggregate(
         lines.map_batches(local_pairs, batch_format="pyarrow"),
         "line_hash", [(id_col, "count", "doc_freq")],
         num_buckets=num_buckets)
 
+    # left_schema omits first_in_doc: hash_join's pad step copies only
+    # the declared layout columns, dropping the marker before the shuffle
     joined = hash_join(
         lines, counts, on="line_hash", num_buckets=num_buckets,
         left_schema=pa.schema([(id_col, pa.int64()),
@@ -758,15 +771,21 @@ def ngram_jaccard_pairs(docs_ds, max_doc_id: int, scale: int = 10000,
     from ..ops.hashagg import append_bucket
 
     def explode(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.less(t["doc_id"], pa.scalar(max_doc_id, pa.int64())))
-        ids, toks = [], []
-        for d, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            ts = _token_set(x or "")
-            for w in ts:
-                ids.append(d)
-                toks.append(w)
-        return pa.table({"doc_id": pa.array(ids, pa.int64()),
-                         "token": pa.array(toks, pa.string())})
+        # vectorized token-SET rows: one RE2 split pass (_tokens_flat is
+        # the exact complement of _TOKEN for this ASCII corpus and of
+        # the oracle's regexp_extract_all pattern), then a C-kernel
+        # distinct on (doc_id, token). Each input row is a whole doc, so
+        # the per-batch distinct IS the per-doc token set — locality is
+        # contractual (computed inside the task holding the doc), not
+        # fusion-dependent.
+        from ..ops.analytics import _tokens_flat
+
+        t = t.filter(pc.less(t["doc_id"], pa.scalar(max_doc_id, pa.int64()))) \
+            .combine_chunks()  # parent indices must be table-global
+        flat, parent = _tokens_flat(t["text"])
+        pairs = pa.table({"doc_id": t["doc_id"].take(parent),
+                          "token": flat})
+        return pairs.group_by(["doc_id", "token"]).aggregate([])
 
     tok_rows = docs_ds.map_batches(explode, batch_format="pyarrow")
 

@@ -21,11 +21,20 @@ rule as dropping ``html`` after text extraction, SURVEY.md §4.2).
 from __future__ import annotations
 
 import hashlib
+import struct
 
 import numpy as np
 import pyarrow as pa
 
 FEATURE_DIM = 8
+
+# every error a malformed-but-sniffable payload can raise out of the
+# native decoders: struct.error covers truncated fixed headers (a
+# payload starting 'BM' or 'RIFF..WAVE' shorter than the header), the
+# others cover bad field values. The decode stages catch exactly this
+# tuple so they stay TOTAL over arbitrary web payloads — one malformed
+# payload must never kill a map task.
+_DECODE_ERRORS = (ValueError, NotImplementedError, struct.error)
 
 
 def _try_import_decoder():
@@ -92,8 +101,6 @@ def decode_image(payload: bytes) -> np.ndarray:
         raster = np.frombuffer(p, np.uint8, count=need, offset=off)
         return raster.reshape(h, w, 3) if ch == 3 else raster.reshape(h, w)
     if fmt == "bmp":
-        import struct
-
         data_off = struct.unpack_from("<I", p, 10)[0]
         w, h_raw = struct.unpack_from("<ii", p, 18)
         bpp = struct.unpack_from("<H", p, 28)[0]
@@ -223,8 +230,8 @@ class ImageResizer:
         if sniff_format(p):
             try:
                 return to_gray(decode_image(p))
-            except ValueError:
-                pass  # malformed/unsupported variant → fake path
+            except _DECODE_ERRORS:
+                pass  # malformed/truncated/unsupported variant → fake path
         return fake_decode(p, *self.src_hw)
 
     def __call__(self, t: pa.Table) -> pa.Table:
@@ -247,8 +254,6 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     count (returned as (n, channels) for multi-channel, (n,) for
     mono). Compressed codecs (mp3/aac/…) need a library absent here
     and raise ``NotImplementedError``."""
-    import struct
-
     p = payload or b""
     if p[:4] != b"RIFF" or p[8:12] != b"WAVE":
         raise NotImplementedError(
@@ -323,7 +328,7 @@ class AudioFeaturizer:
                 n_samp.append(int(np.prod(x.shape[:1])))
                 n_fr.append(f.shape[0])
                 feats.append(f.reshape(-1).tolist())
-            except (NotImplementedError, ValueError):
+            except _DECODE_ERRORS:
                 rates.append(0)
                 n_samp.append(len(p or b""))
                 n_fr.append(0)

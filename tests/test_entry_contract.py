@@ -75,3 +75,37 @@ def test_rows_only_queries_return_rows(entrymod):
                  "q_ann_recall"]:
         df = _to_df(qs[name](SF))
         assert len(df) > 0, name
+
+def test_dictionary_prep_crash_is_atomic(entrymod, monkeypatch):
+    """Kill the dictionary write mid-stream (simulated crash between
+    serialize and rename): no half-written dictionary.parquet may be
+    left behind, and the next _ensure_kg_run must recover to a green
+    kg_nodes (r3 verdict item 5)."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    out = entrymod._kg_out_dir(SF)
+    shutil.rmtree(out, ignore_errors=True)
+
+    real_write = pq.write_table
+
+    def boom(table, where, *a, **k):
+        real_write(table, where, *a, **k)
+        with open(where, "r+b") as f:          # truncate = torn write
+            f.truncate(os.path.getsize(where) // 2)
+        raise RuntimeError("simulated crash mid-write")
+
+    monkeypatch.setattr(pq, "write_table", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        entrymod._ensure_kg_run(SF)
+    monkeypatch.setattr(pq, "write_table", real_write)
+
+    # the torn file must be the .tmp, never the live path
+    assert not os.path.exists(os.path.join(out, "dictionary.parquet"))
+
+    res = entrymod._ensure_kg_run(SF)
+    import ray
+
+    assert ray.data.read_parquet(res["nodes_dir"]).count() > 0

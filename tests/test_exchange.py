@@ -89,3 +89,38 @@ def test_blocking_bucket_exchange_reduce_once_per_bucket(ray_session):
     assert [r[0] for r in out] == list(range(B))
     assert sum(r[1] for r in out) == 40
     assert all(r[2] == ["k"] for r in out if r[1])
+
+def test_zero_block_map_groups_keeps_schema(ray_session):
+    """A zero-block input (limit(0) prunes every block) must still
+    yield a TYPED empty Dataset: the exchange probes the kernel with a
+    0-row table of the input schema, so downstream column access works
+    (r3 advice: an empty upstream must not produce a schema-less
+    Dataset)."""
+    import ray
+
+    t = pa.table({"k": pa.array([1, 2], pa.int64()),
+                  "v": pa.array([3, 4], pa.int64())})
+    ds = ray.data.from_arrow(append_bucket(t, ["k"], 4)).limit(0)
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        out = g.group_by(["k"]).aggregate([("v", "sum")])
+        return out.rename_columns(["k", "v_sum"])
+
+    got = bucketed_map_groups(ds, 4, per_bucket)
+    assert got.schema().names == ["k", "v_sum"]
+    # the part the r3 advice called out: column access must not raise
+    assert got.select_columns(["v_sum"]).count() == 0
+
+
+def test_zero_block_hash_aggregate_keeps_schema(ray_session):
+    import ray
+
+    from gfftoneo4j_ray.ops.hashagg import hash_aggregate
+
+    t = pa.table({"k": pa.array([1, 2], pa.int64()),
+                  "v": pa.array([3, 4], pa.int64())})
+    ds = ray.data.from_arrow(t).limit(0)
+    got = hash_aggregate(ds, "k", [("v", "sum", "s"), ("v", "mean", "m")],
+                         num_buckets=4)
+    assert got.schema().names == ["k", "s", "m"]
+    assert got.select_columns(["s"]).count() == 0

@@ -200,3 +200,16 @@ def test_schema_hint_cast_heals_dtype_drift(ray_session):
     assert list(out["k"]) == [2, 3]
     assert list(out["lv"]) == [20, 30]
     assert list(out["rv"]) == [7, 8]
+
+def test_zero_block_both_sides_keeps_schema(ray_session):
+    """Both sides with no ref bundles at all (from_items([])): the
+    declared layout supplies the typed empty output schema."""
+    import ray
+
+    got = hash_join(
+        ray.data.from_items([]), ray.data.from_items([]), on="k",
+        num_buckets=4,
+        left_schema=pa.schema([("k", pa.int64()), ("a", pa.string())]),
+        right_schema=pa.schema([("k", pa.int64()), ("b", pa.float64())]))
+    assert got.schema().names == ["k", "a", "b"]
+    assert got.select_columns(["b"]).count() == 0

@@ -235,3 +235,29 @@ def test_audio_featurizer_native_and_fallback(ray_session):
     # fallback path: fake features, n_frames 0
     assert out.loc["html", "n_frames"] == 0
     assert len(out.loc["html", "features"]) == multimodal.FEATURE_DIM
+
+def test_truncated_sniffable_payloads_fall_back():
+    """A payload that sniffs as BMP/WAV but is shorter than the fixed
+    header raises struct.error out of the native decoders — the stages
+    must catch it and fall back to the fake path (total over arbitrary
+    web payloads), not kill the map task (r3 advice, medium)."""
+    import struct
+
+    bad = [b"BM", b"BM" + b"\x00" * 12,            # truncated BMP header
+           b"RIFF\x10\x00\x00\x00WAVE",            # WAVE with no chunks
+           b"RIFFxxxxWAVEfmt ",                    # truncated chunk header
+           # declared 16-byte fmt chunk with a 4-byte body → struct.error
+           b"RIFFxxxxWAVEfmt " + struct.pack("<I", 16) + b"\x00" * 4,
+           b"P6", b"P6 2",                         # truncated netpbm
+           b"", b"plain html"]
+    t = pa.table({"url": pa.array([f"u{i}" for i in range(len(bad))]),
+                  "html": pa.array(bad, pa.binary())})
+
+    out = multimodal.ImageResizer(out_hw=(2, 2))(t)
+    assert out.num_rows == len(bad)
+    assert all(len(p) == 4 for p in out["pixels"].to_pylist())
+
+    out = multimodal.AudioFeaturizer()(t)
+    assert out.num_rows == len(bad)
+    # every malformed payload landed on the fake-feature path
+    assert out["sample_rate"].to_pylist() == [0] * len(bad)
