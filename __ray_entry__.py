@@ -255,31 +255,122 @@ def q_mm_features(sf_dir: str):
 # text analysis / dedup / similarity entries
 # ---------------------------------------------------------------------------
 
-def q_text_stats(sf_dir: str):
-    return _docs(sf_dir).map_batches(textstats.text_stats_batch,
-                                     batch_format="pyarrow")
-
-
 def q_doc_signatures(sf_dir: str):
-    """The three deterministic per-doc signature kernels (language-ID
-    n-gram heuristic, 64-bit rolling-hash fingerprint, SimHash) fused
-    into ONE map pass / one driver slot — each stays a separate
-    vectorized kernel; the oracle is a 3-way join of their committed
-    goldens."""
+    """The per-doc signature AND stats kernels fused into ONE map pass
+    / one driver slot: language-ID n-gram heuristic, 64-bit
+    rolling-hash fingerprint, SimHash, plus the vectorized text-stats
+    columns (n_chars/n_tokens/n_spaces/alpha_c — formerly the separate
+    q_text_stats slot, folded here in round 4 to free a registry slot
+    for q_corpus_prep within the 50-entry budget). Each stays a
+    separate vectorized kernel; the oracle joins the SQL stats
+    expressions with the three committed signature goldens."""
     import pyarrow as pa
 
     def sig(t: pa.Table) -> pa.Table:
         lang = textstats.lang_id_batch(t)
         fp = textstats.fingerprint_batch(t)
         sh = dedup.simhash_batch(t)
+        st = textstats.text_stats_batch(t)
         return pa.table({
             "doc_id": t["doc_id"],
+            "n_chars": st["n_chars"],
+            "n_tokens": st["n_tokens"],
+            "n_spaces": st["n_spaces"],
+            "alpha_c": st["alpha_c"],
             "lang_pred": lang["lang_pred"],
             "fingerprint": fp["fingerprint"],
             "simhash": sh["simhash"],
         })
 
     return _docs(sf_dir).map_batches(sig, batch_format="pyarrow")
+
+
+def q_corpus_prep(sf_dir: str):
+    """The four training-corpus-prep library ops (added in round 3 as
+    pytest-only) in ONE tagged-union driver slot, each value-checked
+    (VERDICT r3 item 4). Common layout (kind, doc_id, val_i, val_s):
+
+      kind='line_dedup' — CCNet line-level dedup survivors
+          (val_i = char length, val_s = the reassembled text);
+          full SQL oracle (explode → distinct-doc freq → reassemble).
+      kind='contam'     — benchmark-decontamination hit counts, probe
+          suite = the docs with doc_id < 10 (a bounded benchmark-sized
+          driver pull, mirroring the real broadcast side);
+          (val_i = n_hits, val_s = ''); full SQL oracle via string
+          8-grams — a hash-free mirror of the probe-set scan.
+      kind='pack'       — token-budget FFD packing assignment
+          (val_i = pack_id, val_s = n_tokens as string); golden oracle
+          recomputed SEQUENTIALLY and independently in
+          tools/make_goldens.py (pins distributed == sequential).
+      kind='mixture'    — deterministic stratified mixture-sampling
+          keepers at rate(src_i) = i/20 (val_i = 1, val_s = source);
+          golden oracle, independent sequential recomputation.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    docs = _docs(sf_dir)
+
+    def tag_ld(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({
+            "kind": pa.array(["line_dedup"] * n, pa.string()),
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "val_i": pc.utf8_length(t["text"]).cast(pa.int64()),
+            "val_s": t["text"].cast(pa.string()),
+        })
+
+    ld = dedup.line_dedup(docs, max_doc_freq=2) \
+        .map_batches(tag_ld, batch_format="pyarrow")
+
+    # probe suite: bounded driver pull (benchmark-suite-sized by
+    # construction — 10 docs), the same shape as a real decontamination
+    # run where the benchmark files live driver-side
+    probe_texts = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+        filters=[("doc_id", "<", 10)]).sort_by("doc_id")["text"].to_pylist()
+
+    def tag_ct(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({
+            "kind": pa.array(["contam"] * n, pa.string()),
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "val_i": t["n_hits"].cast(pa.int64()),
+            "val_s": pa.array([""] * n, pa.string()),
+        })
+
+    ct = A.contamination_flags(docs, probe_texts, n=8) \
+        .map_batches(tag_ct, batch_format="pyarrow")
+
+    def tag_pk(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({
+            "kind": pa.array(["pack"] * n, pa.string()),
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "val_i": t["pack_id"].cast(pa.int64()),
+            "val_s": t["n_tokens"].cast(pa.string()),
+        })
+
+    pk = A.pack_sequences(docs, budget_tokens=2048) \
+        .map_batches(tag_pk, batch_format="pyarrow")
+
+    rates = {f"src{i}": i / 20 for i in range(20)}
+
+    def tag_mx(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({
+            "kind": pa.array(["mixture"] * n, pa.string()),
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "val_i": pa.array([1] * n, pa.int64()),
+            "val_s": t["source"].cast(pa.string()),
+        })
+
+    mx = A.mixture_sample(_docs(sf_dir, columns=("doc_id", "source")),
+                          rates, key_col="source", id_col="doc_id") \
+        .map_batches(tag_mx, batch_format="pyarrow")
+
+    return ld.union(ct, pk, mx)
 
 
 def q_dedup_exact(sf_dir: str):
@@ -429,8 +520,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_redact": A.q_redact,
         "q_quality_filter": A.q_quality_filter,
         # text analysis / dedup / similarity (training-data ops)
-        "q_text_stats": q_text_stats,
-        "q_doc_signatures": q_doc_signatures,  # langid+fingerprint+simhash
+        "q_corpus_prep": q_corpus_prep,  # line_dedup+contam+pack+mixture
+        "q_doc_signatures": q_doc_signatures,  # langid+fp+simhash+stats
         "q_dedup_exact": q_dedup_exact,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_simhash_neardup": q_simhash_neardup,  # golden self-join oracle
@@ -858,18 +949,60 @@ def oracle_sql() -> dict[str, str]:
                    CAST(FLOOR(pr * 1000000 + 0.5) AS BIGINT) AS pr_c
             FROM p3
         """,
-        "q_text_stats": r"""
-            SELECT doc_id,
-                   CAST(length(text) AS BIGINT) AS n_chars,
-                   CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
-                                        x -> x <> '')) AS BIGINT) AS n_tokens,
-                   CAST(length(text) - length(replace(text, ' ', ''))
-                        AS BIGINT) AS n_spaces,
-                   CAST(FLOOR(CAST(length(regexp_replace(text, '[^a-z]', '', 'g'))
-                                   AS DOUBLE)
-                              / GREATEST(length(text), 1) * 10000 + 0.5)
-                        AS BIGINT) AS alpha_c
-            FROM documents
+        "q_corpus_prep": r"""
+            WITH split AS (
+                SELECT doc_id, string_split(text, chr(10)) AS l
+                FROM documents
+            ),
+            lines AS (
+                SELECT doc_id, unnest(l) AS line,
+                       generate_subscripts(l, 1) AS line_idx
+                FROM split
+            ),
+            freq AS (
+                SELECT line, COUNT(DISTINCT doc_id) AS df
+                FROM lines GROUP BY line
+            ),
+            kept AS (
+                SELECT ln.doc_id, ln.line_idx, ln.line
+                FROM lines ln JOIN freq f USING (line)
+                WHERE f.df <= 2
+            ),
+            re AS (
+                SELECT doc_id,
+                       string_agg(line, chr(10) ORDER BY line_idx) AS text
+                FROM kept GROUP BY doc_id
+            ),
+            tok AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '[a-z0-9_''-]+') AS l
+                FROM documents
+            ),
+            grams AS (
+                SELECT doc_id, array_to_string(l[i:i+7], ' ') AS g
+                FROM (SELECT doc_id, l,
+                             unnest(generate_series(1,
+                                    greatest(len(l) - 7, 0))) AS i
+                      FROM tok)
+            ),
+            probe AS (SELECT DISTINCT g FROM grams WHERE doc_id < 10),
+            hits AS (
+                SELECT d.doc_id, COUNT(*) AS n_hits
+                FROM grams d JOIN probe USING (g) GROUP BY d.doc_id
+            )
+            SELECT 'line_dedup' AS kind, doc_id,
+                   CAST(length(text) AS BIGINT) AS val_i, text AS val_s
+            FROM re
+            UNION ALL
+            SELECT 'contam', t.doc_id,
+                   CAST(COALESCE(h.n_hits, 0) AS BIGINT), ''
+            FROM tok t LEFT JOIN hits h USING (doc_id)
+            UNION ALL
+            SELECT 'pack', doc_id, pack_id, CAST(n_tokens AS VARCHAR)
+            FROM read_parquet('/root/repo/gfftoneo4j_ray/goldens/sf0_01_pack.parquet')
+            UNION ALL
+            SELECT 'mixture', doc_id, CAST(1 AS BIGINT), source
+            FROM read_parquet('/root/repo/gfftoneo4j_ray/goldens/sf0_01_mixture.parquet')
         """,
         "q_dedup_exact": r"""
             SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dups
@@ -901,8 +1034,20 @@ def oracle_sql() -> dict[str, str]:
         # tools/make_goldens.py at the driver's sf0.01 comparison scale,
         # committed under gfftoneo4j_ray/goldens/) -----------------------
         "q_doc_signatures": r"""
-            SELECT l.doc_id, l.lang_pred, f.fingerprint, s.simhash
-            FROM read_parquet('/root/repo/gfftoneo4j_ray/goldens/sf0_01_langid.parquet') l
+            SELECT d.doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+                                        x -> x <> '')) AS BIGINT) AS n_tokens,
+                   CAST(length(text) - length(replace(text, ' ', ''))
+                        AS BIGINT) AS n_spaces,
+                   CAST(FLOOR(CAST(length(regexp_replace(text, '[^a-z]', '', 'g'))
+                                   AS DOUBLE)
+                              / GREATEST(length(text), 1) * 10000 + 0.5)
+                        AS BIGINT) AS alpha_c,
+                   l.lang_pred, f.fingerprint, s.simhash
+            FROM documents d
+            JOIN read_parquet('/root/repo/gfftoneo4j_ray/goldens/sf0_01_langid.parquet') l
+              USING (doc_id)
             JOIN read_parquet('/root/repo/gfftoneo4j_ray/goldens/sf0_01_fingerprint.parquet') f
               USING (doc_id)
             JOIN read_parquet('/root/repo/gfftoneo4j_ray/goldens/sf0_01_simhash.parquet') s

@@ -46,7 +46,7 @@ def _to_df(res):
 
 
 ORACLE_SUBSET = ["q_lineitem_agg", "q_group_consistency", "q_adjacent_pairs",
-                 "q_dedup_exact", "q_text_stats", "q_ann_topk",
+                 "q_dedup_exact", "q_quality_filter", "q_ann_topk",
                  "q_window_agg", "q_join_enrich", "q_range_join"]
 
 
@@ -72,7 +72,7 @@ def test_entry_runs_and_returns_rows(entrymod):
 def test_rows_only_queries_return_rows(entrymod):
     qs = entrymod.queries()
     for name in ["q_doc_signatures", "kg_triples", "mm_features",
-                 "q_ann_recall"]:
+                 "q_ann_recall", "q_corpus_prep"]:
         df = _to_df(qs[name](SF))
         assert len(df) > 0, name
 

@@ -133,6 +133,65 @@ def main() -> None:
     }), os.path.join(OUT, "sf0_01_langid.parquet"))
     print("doc-function goldens:", len(ids), "docs")
 
+    # --- corpus-prep goldens (q_corpus_prep 'pack' and 'mixture'
+    # slices): SEQUENTIAL, INDEPENDENT reimplementations of the two
+    # non-SQL-expressible ops — a plain-python FFD pass per doc-id-hash
+    # bucket and a driver-side pandas-siphash keep decision — so the
+    # committed rows pin distributed == sequential, not merely
+    # run-to-run determinism ------------------------------------------
+    import re as _re
+
+    import numpy as np
+    import pandas as pd
+
+    docs_pd = pq.read_table(os.path.join(SF, "documents.parquet"),
+                            columns=["doc_id", "text", "source"]).to_pandas()
+    B, budget = 32, 2048  # must match q_corpus_prep's pack_sequences call
+    ntok = docs_pd["text"].map(
+        lambda t: len([x for x in _re.split(r"\s+", t or "") if x])) \
+        .astype("int64")
+    bucket = (docs_pd["doc_id"].to_numpy().astype(np.uint64)
+              % np.uint64(B)).astype(int)
+    rows = []
+    for b in range(B):
+        sub = pd.DataFrame({"doc_id": docs_pd.loc[bucket == b, "doc_id"],
+                            "n_tokens": ntok[bucket == b]})
+        sub = sub.sort_values(["n_tokens", "doc_id"],
+                              ascending=[False, True], kind="mergesort")
+        fills: list[int] = []
+        for did, n in zip(sub["doc_id"], sub["n_tokens"]):
+            n = int(n)
+            for i in range(len(fills)):      # first fit
+                if fills[i] + n <= budget:
+                    fills[i] += n
+                    idx = i
+                    break
+            else:
+                fills.append(n)
+                idx = len(fills) - 1
+            rows.append(((b << 32) + idx, int(did), n))
+    pq.write_table(pa.table({
+        "pack_id": pa.array([r[0] for r in rows], pa.int64()),
+        "doc_id": pa.array([r[1] for r in rows], pa.int64()),
+        "n_tokens": pa.array([r[2] for r in rows], pa.int64()),
+    }), os.path.join(OUT, "sf0_01_pack.parquet"))
+    print("pack golden:", len(rows), "assignments,",
+          len({r[0] for r in rows}), "packs")
+
+    rates = {f"src{i}": i / 20 for i in range(20)}  # must match q_corpus_prep
+    h = pd.util.hash_pandas_object(
+        pd.Series(docs_pd["doc_id"].tolist(), dtype="object"), index=False,
+        hash_key="raykg-stable-64b").to_numpy(np.uint64) % np.uint64(10000)
+    thr = docs_pd["source"].map(
+        lambda s: int(round(rates.get(s, 0.0) * 10000))).to_numpy(np.int64)
+    keep = h.astype(np.int64) < thr
+    mix = docs_pd.loc[keep, ["doc_id", "source"]]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(mix["doc_id"].to_numpy(np.int64), pa.int64()),
+        "source": pa.array(mix["source"].to_numpy(), pa.string()),
+    }), os.path.join(OUT, "sf0_01_mixture.parquet"))
+    print("mixture golden:", len(mix), "of", len(docs_pd), "kept")
+
     # --- HLL estimate golden (deterministic sketch; the oracle joins
     # this against a real SQL COUNT(DISTINCT) and recomputes err_c) ----
     from gfftoneo4j_ray.ops.windowed import hll_distinct
