@@ -71,7 +71,7 @@ def hex_prefix_int64(col) -> pa.Array:
 
 
 def pagerank(edges_ds, *, iters: int = 3, damping: float = 0.85,
-             num_buckets: int = 16):
+             num_buckets: int = 16, checkpoint_dir: str | None = None):
     """PageRank over distinct (src, dst) string edges, fixed
     ``iters`` rounds, uniform init 1/N, no dangling-mass
     redistribution (the standard simplified variant — documented so
@@ -79,7 +79,19 @@ def pagerank(edges_ds, *, iters: int = 3, damping: float = 0.85,
 
     Per round: ONE shuffle join (ranks onto outgoing edges) + ONE hash
     aggregate (contributions per dst) + ONE left join onto the node
-    universe. Returns a (node, pr) Dataset; pr is float64."""
+    universe. Returns a (node, pr) Dataset; pr is float64.
+
+    Memory bound: the object store holds the distinct-edge +
+    (src, outdeg)-joined edge tables for the whole run, plus — per
+    round — one rank table O(nodes) and that round's join/aggregate
+    intermediates O(edges); prior rounds' blocks are freed by Ray's
+    reference counting as the Python names are reassigned, so peak ≈
+    2×edges + 2×nodes regardless of ``iters``. With ``checkpoint_dir``
+    set, each round's rank table is instead written to Parquet
+    (tmp+rename, atomic) and re-read, which (a) caps the
+    object-store-resident rank state at ONE round and (b) makes the
+    run resumable: completed rounds are skipped and the iteration
+    continues from the newest finished one."""
     edges = _distinct_pairs(edges_ds).materialize()
 
     def srcs(t: pa.Table) -> pa.Table:
@@ -120,7 +132,23 @@ def pagerank(edges_ds, *, iters: int = 3, damping: float = 0.85,
                            ("outdeg", pa.int64())])
     nodes_schema = pa.schema([("node", pa.string())])
 
-    for _ in range(iters):
+    start = 0
+    if checkpoint_dir is not None:
+        import os
+
+        import ray
+
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        # resume: continue from the newest finished round (a round dir
+        # exists iff its write fully committed — rename is the commit)
+        for i in range(iters, 0, -1):
+            d = os.path.join(checkpoint_dir, f"pr_round_{i - 1:03d}")
+            if os.path.isdir(d):
+                pr = ray.data.read_parquet(d)
+                start = i
+                break
+
+    for _round in range(start, iters):
         contrib_in = hash_join(ew, pr, on="src", right_on="node",
                                num_buckets=num_buckets,
                                left_schema=ew_schema,
@@ -147,8 +175,21 @@ def pagerank(edges_ds, *, iters: int = 3, damping: float = 0.85,
             return pa.table({"node": t["node"],
                              "pr": pa.array(b + d * s, pa.float64())})
 
-        pr = merged.map_batches(finalize,
-                                batch_format="pyarrow").materialize()
+        pr = merged.map_batches(finalize, batch_format="pyarrow")
+        if checkpoint_dir is None:
+            pr = pr.materialize()
+        else:
+            import os
+            import shutil
+
+            import ray
+
+            d = os.path.join(checkpoint_dir, f"pr_round_{_round:03d}")
+            tmp = d + ".tmp"
+            shutil.rmtree(tmp, ignore_errors=True)
+            pr.write_parquet(tmp)
+            os.rename(tmp, d)
+            pr = ray.data.read_parquet(d)
     return pr
 
 

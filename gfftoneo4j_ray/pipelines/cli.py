@@ -87,6 +87,9 @@ def main(argv=None) -> int:
                       extractor_cls=profile.triple_extractor_cls)
     res = kg.run(args.input, dict_path, args.output, cfg=cfg,
                  resume=args.resume, checkpointed=not args.streaming)
+    # which cluster served the job (job logs need this to correlate
+    # a submitted run with the cluster that executed it)
+    res["ray_address"] = ray.get_runtime_context().gcs_address
     print(json.dumps(res))
     ray.shutdown()
     return 0

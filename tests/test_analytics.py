@@ -212,6 +212,44 @@ def test_pagerank_matches_dense_reference(ray_session):
         assert abs(val - want[node]) < 1e-12
 
 
+def test_pagerank_checkpointed_equals_inmemory_and_resumes(
+        ray_session, tmp_path):
+    """checkpoint_dir mode returns the same ranks as the in-memory
+    carry, and a re-invocation resumes from the committed rounds
+    (bit-identical result with the final round already on disk)."""
+    import os
+
+    import ray
+
+    from gfftoneo4j_ray.ops.graph_algos import pagerank
+
+    rng = np.random.default_rng(7)
+    pairs = {(int(a), int(b)) for a, b in rng.integers(0, 9, (30, 2))
+             if a != b}
+    edges = pa.table({"src": [_hexid(a) for a, _ in sorted(pairs)],
+                      "dst": [_hexid(b) for _, b in sorted(pairs)]})
+    want = pagerank(ray.data.from_arrow(edges), iters=3) \
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    ckpt = str(tmp_path / "pr_ckpt")
+    got = pagerank(ray.data.from_arrow(edges), iters=3,
+                   checkpoint_dir=ckpt) \
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    assert (got["node"] == want["node"]).all()
+    assert np.allclose(got["pr"], want["pr"], atol=1e-15)
+    # every round committed (rename = commit; no .tmp residue)
+    names = sorted(os.listdir(ckpt))
+    assert names == [f"pr_round_{i:03d}" for i in range(3)]
+    # resume: drop the last round, re-invoke — rounds 0-1 are reused,
+    # only round 2 recomputes, and the ranks are bit-identical
+    import shutil
+
+    shutil.rmtree(os.path.join(ckpt, "pr_round_002"))
+    again = pagerank(ray.data.from_arrow(edges), iters=3,
+                     checkpoint_dir=ckpt) \
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    assert (again["pr"] == got["pr"]).all()
+
+
 def test_contamination_flags(ray_session):
     """Docs containing any probe n-gram are flagged with exact hit
     counts; clean docs are 0; casing/punctuation normalize through the

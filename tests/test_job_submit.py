@@ -1,0 +1,47 @@
+"""Job-submission smoke: the north rule's run mode (`ray job submit`).
+
+The container lacks aiohttp, so Ray's HTTP job server (and therefore a
+literal `ray job submit`) cannot start here. What the job server does
+after upload is exec the entrypoint as a fresh driver process with
+RAY_ADDRESS pointing at the running cluster — this test drives exactly
+that contract: the CLI module launched in a clean subprocess, connecting
+to the pytest session's already-running cluster via RAY_ADDRESS, running
+the sf0.001-scale pipeline end-to-end and writing the graph tables.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_cli_job_submit_smoke(ray_session, tiny_corpus, tmp_path):
+    gcs = ray_session.get_runtime_context().gcs_address
+    assert gcs, "session cluster must expose a GCS address"
+    out = tmp_path / "job_out"
+    env = {**os.environ, "RAY_ADDRESS": gcs,
+           "PYTHONPATH": REPO + os.pathsep + os.environ.get("PYTHONPATH", "")}
+    cmd = [sys.executable, "-m", "gfftoneo4j_ray.pipelines.cli",
+           "--input", os.path.join(tiny_corpus, "pages"),
+           "--output", str(out), "--profile", "webtext", "--streaming"]
+    r = subprocess.run(cmd, env=env, capture_output=True, text=True,
+                       timeout=600, cwd=REPO)
+    assert r.returncode == 0, f"stderr tail: {r.stderr[-3000:]}"
+    res = json.loads(r.stdout.strip().splitlines()[-1])
+
+    import pyarrow.dataset as pads
+
+    nodes = pads.dataset(res["nodes_dir"], format="parquet")
+    edges = pads.dataset(res["edges_dir"], format="parquet")
+    assert nodes.count_rows() > 0 and edges.count_rows() > 0
+    assert {"node_id", "label", "key"} <= set(nodes.schema.names)
+    assert {"src", "dst", "type", "pred"} <= set(edges.schema.names)
+    # the fresh driver must have JOINED the session cluster, not booted
+    # a private one (the job-submit contract under test): the CLI
+    # reports the GCS address it actually connected to
+    assert res["ray_address"] == gcs, \
+        f"driver booted its own cluster ({res['ray_address']} != {gcs})"
