@@ -261,25 +261,21 @@ def run(pages_path: str, dict_path: str, out_root: str, *,
 
     if ckpt:
         linked_ds = ckpt.run_stage("linked", linked_stage, fingerprint)
+        mark("triples+linked")
     else:
-        # streaming: ONE fused extract+link actor pool (checkpointed
-        # mode keeps the stages separate for resume granularity).
-        # Materialize once — consumed twice (mapping + sink pass);
-        # coalesce because actor pools emit one small block per batch
-        linked_ds = linker.apply_fused(
-            text_ds, dict_ref=dict_ref, lang=cfg.lang,
-            concurrency=cfg.link_concurrency,
-            batch_size=cfg.triples_batch_size,
-            extractor_cls=cfg.extractor_cls).repartition(128).materialize()
-
-    mark("triples+linked")
+        # streaming: the ONE fused extract+link actor pool is created
+        # and drained inside the sink section below — its pinned block
+        # refs feed the mapping's map side AND the sink emit wave
+        # directly, with no repartition/materialize barrier between
+        # the link stream and the sink exchange.
+        linked_ds = None
 
     # ---- canonical mapping (driver-small, dictionary-bounded) -------------
-    mapping = canonicalize.build_canonical_mapping(linked_ds)
-    map_ref = ray.put(mapping)
-    mark("mapping")
-
     if ckpt:
+        mapping = canonicalize.build_canonical_mapping(linked_ds)
+        map_ref = ray.put(mapping)
+        mark("mapping")
+
         canon_ds = canonicalize.apply(linked_ds, mapping,
                                       concurrency=cfg.canon_concurrency)
 
@@ -287,16 +283,14 @@ def run(pages_path: str, dict_path: str, out_root: str, *,
             _write_stage(canon_ds.repartition(128), tmp, _canonical_schema())
             return {"canonical_entities": len({v[1] for v in mapping.values()})}
         canon_committed = ckpt.run_stage("canonical", canon_stage, fingerprint)
+        mark("canon")
     else:
-        # streaming: NO materialized canonical table at all — ONE
-        # merged sink pass (graph.EmitGraphPartials) fuses the mapping
-        # lookup into a slim actor kernel over a column-pruned view of
-        # the pinned linked table, overlapping the tagging with the
-        # sink exchange+write. The checkpointed mode keeps the
-        # committed full-width canonical stage for resume granularity.
+        # streaming: NO materialized canonical table at all — the
+        # mapping lookup is fused into the sink emit wave over the
+        # pinned linked blocks (graph.launch_emit_splits below). The
+        # checkpointed mode keeps the committed full-width canonical
+        # stage for resume granularity.
         canon_committed = None
-
-    mark("canon")
 
     # ---- graph ------------------------------------------------------------
     sink_buckets, sink_coalesce = graph.sink_geometry(cfg.sink_buckets)
@@ -326,7 +320,6 @@ def run(pages_path: str, dict_path: str, out_root: str, *,
                 batch_format="pyarrow")
             edge_partials = edge_partials.union(order)
 
-    known_ids = {nid for _, nid in mapping.values()}
     nodes_dir = os.path.join(out_root, "nodes")
     edges_dir = os.path.join(out_root, "edges")
     _settle_fsspec_http()
@@ -336,6 +329,8 @@ def run(pages_path: str, dict_path: str, out_root: str, *,
     # partials in ONE exchange, input consumed once (no materialize, no
     # separate counts pass, no sample+sort) — see graph.py
     if ckpt:
+        known_ids = {nid for _, nid in mapping.values()}
+
         def edges_stage(tmp: str) -> dict:
             n, _ = graph.finalize_sort_write_edges(
                 edge_partials, tmp, known_ids, num_buckets=sink_buckets,
@@ -372,45 +367,97 @@ def run(pages_path: str, dict_path: str, out_root: str, *,
         _shutil.rmtree(edges_dir, ignore_errors=True)
         _shutil.rmtree(nodes_dir, ignore_errors=True)
 
-        # MERGED graph sink: ONE full-pool scan of the linked table
-        # emits edge AND NIL-node partials in the tagged union layout
-        # (graph.EmitGraphPartials), page-node and order-edge rows
-        # union in, and a single exchange with 2×B reduce tasks writes
-        # the sorted edge parts while producing the sorted node-partial
-        # tables — no worker threads, no pool split, and the linked
-        # table is scanned once instead of twice. The dictionary-
-        # bounded entity/alias node table is built by ONE task
-        # downstream of the edge buckets' count partials and sliced per
-        # node bucket; each node bucket's final merge+write fires the
-        # moment its sorted partials and entity slice are ready. The
-        # only driver waits are the upstream stream and the final
-        # ray.get.
-        partials = linked_ds \
-            .select_columns(["url", "subj", "subj_type",
-                             "obj", "obj_type", "pred"]) \
-            .map_batches(graph.EmitGraphPartials, batch_format="pyarrow",
-                         batch_size=cfg.canon_batch_size,
-                         concurrency=cfg.canon_concurrency,
-                         fn_constructor_kwargs={"map_ref": map_ref})
-        if cfg.emit_order_edges:
-            order = graph.order_edges(page_meta).map_batches(
-                lambda t: graph._tag_edges(t.rename_columns(
-                    ["src", "dst", "type", "pred", "w"])),
-                batch_format="pyarrow")
-            partials = partials.union(order)
-        partials = partials.union(graph.page_node_partials(page_meta))
+        # STREAMING graph sink with NO driver barrier between the link
+        # stream and the sink exchange:
+        #   * the fused extract+link stream drains ONCE into pinned
+        #     block refs; the canonical mapping's map side (distinct
+        #     (surface, entity_key) pair partials) launches as blocks
+        #     land, so when the stream ends only the alias-bounded
+        #     pair exchange + driver merge remain
+        #     (canonicalize.launch_pair_partials);
+        #   * page-side partials (page nodes + order edges — they need
+        #     no mapping) tag+split in a worker thread CONCURRENTLY
+        #     with the link stream (the sanctioned two-upstream overlap,
+        #     ops/exchange.py module doc);
+        #   * edge/NIL-node partial emission then runs as ONE fused
+        #     emit+tag+split raw-task wave directly over the pinned
+        #     refs (graph.launch_emit_splits) — no linked
+        #     repartition/materialize AllToAll, no second linked scan
+        #     for the mapping, no actor-pool startup between the link
+        #     stream and the sink exchange.
+        # Downstream, the dictionary-bounded entity/alias node table is
+        # built by ONE task fed by the edge buckets' count partials and
+        # sliced per node bucket; each node bucket's merge+write fires
+        # the moment its sorted partials and entity slice are ready.
+        # The only driver waits are the link stream, the (small) pair
+        # exchange, and the final ray.get.
+        import threading
 
-        edge_refs, n1 = graph.launch_graph_sink(
-            partials, edges_dir, known_ids,
-            num_buckets=sink_buckets, coalesce_blocks=sink_coalesce)
+        from ..ops.exchange import split_refs
+
+        B = sink_buckets
+        page_splits: list = []
+        page_err: list = []
+
+        def _page_side() -> None:
+            try:
+                parts = graph.page_node_partials(page_meta)
+                if cfg.emit_order_edges:
+                    order = graph.order_edges(page_meta).map_batches(
+                        lambda t: graph._tag_edges(t.rename_columns(
+                            ["src", "dst", "type", "pred", "w"])),
+                        batch_format="pyarrow")
+                    parts = parts.union(order)
+                bucketed = parts.map_batches(
+                    lambda t: graph._tag_bucket_table(t, B),
+                    batch_format="pyarrow")
+                page_splits.extend(split_refs(bucketed, 2 * B))
+            except BaseException as e:  # noqa: BLE001 — re-raised on join
+                page_err.append(e)
+
+        th = threading.Thread(target=_page_side, name="page-side-splits")
+        th.start()
+
+        linked = linker.apply_fused(
+            text_ds, dict_ref=dict_ref, lang=cfg.lang,
+            concurrency=cfg.link_concurrency,
+            batch_size=cfg.triples_batch_size,
+            extractor_cls=cfg.extractor_cls)
+        block_refs, block_rows, pair_refs = [], [], []
+        group: list = []
+        for bundle in linked.iter_internal_ref_bundles():
+            for blk, bmeta in bundle.blocks:
+                block_refs.append(blk)
+                block_rows.append(bmeta.num_rows)
+                group.append(blk)
+                if len(group) >= 32:
+                    pair_refs.append(
+                        canonicalize.launch_pair_partials(group))
+                    group = []
+        if group:
+            pair_refs.append(canonicalize.launch_pair_partials(group))
+        mark("link stream")
+
+        mapping = canonicalize.mapping_from_pair_refs(pair_refs)
+        map_ref = ray.put(mapping)
+        known_ids = {nid for _, nid in mapping.values()}
+        mark("mapping")
+
+        emit_splits = graph.launch_emit_splits(
+            map_ref, block_refs, block_rows, B, sink_coalesce)
+        th.join()
+        if page_err:
+            raise page_err[0]
+        edge_refs, n1 = graph.launch_graph_sink_from_splits(
+            page_splits + emit_splits, edges_dir, known_ids, B)
         mark("sink upstreams")
 
         ent = graph.launch_entity_node_slices(map_ref, type_of,
-                                              edge_refs, sink_buckets)
-        writes = graph.launch_merge_write_nodes(n1, ent, nodes_dir,
-                                                sink_buckets)
+                                              edge_refs, B)
+        writes = graph.launch_merge_write_nodes(n1, ent, nodes_dir, B)
         side = graph.launch_counts_side_file(edges_dir, edge_refs)
         ray.get(writes + [side])
+        del block_refs  # release the pinned linked blocks
         for d, schema in ((edges_dir, graph.EDGES_SCHEMA),
                           (nodes_dir, graph.NODES_SCHEMA)):
             if not any(f.endswith(".parquet") and not f.startswith("_")

@@ -74,9 +74,51 @@ def build_canonical_mapping(linked_ds, num_partitions: int = 64) -> dict:
     Phases 1-3 above. Returns the driver-side mapping (bounded by the
     alias-pair universe, NOT by corpus size — see module docstring).
     """
+    pairs = linked_ds.map_batches(emit_pairs_batch, batch_format="pyarrow")
+    return mapping_from_pairs_ds(pairs, num_partitions)
+
+
+_PAIRS_TASK = None
+
+
+def launch_pair_partials(block_refs: list):
+    """Phase 1 as ONE raw task over a group of pinned linked block refs:
+    per-block distinct (surface, entity_key) pairs, re-deduped across
+    the group. Launched by the streaming pipeline AS LINK BLOCKS LAND,
+    so the mapping's map side fully overlaps the link stream; only the
+    alias-bounded pair exchange + driver merge remain after the stream
+    drains (``mapping_from_pair_refs``)."""
+    global _PAIRS_TASK
     import ray
 
-    pairs = linked_ds.map_batches(emit_pairs_batch, batch_format="pyarrow")
+    if _PAIRS_TASK is None:
+        @ray.remote
+        def pair_partials(*blocks):
+            tabs = [emit_pairs_batch(b) for b in blocks]
+            t = pa.concat_tables(tabs, promote_options="default")
+            return t.group_by(["surface", "entity_key"]).aggregate([])
+
+        _PAIRS_TASK = pair_partials
+    return _PAIRS_TASK.remote(*block_refs)
+
+
+def mapping_from_pair_refs(pair_refs: list, num_partitions: int = 64) -> dict:
+    """Phases 2-3 over the pair-partial refs produced by
+    ``launch_pair_partials`` during the stream."""
+    import ray
+
+    if not pair_refs:
+        return {}
+    return mapping_from_pairs_ds(ray.data.from_arrow_refs(pair_refs),
+                                 num_partitions)
+
+
+def mapping_from_pairs_ds(pairs, num_partitions: int = 64) -> dict:
+    """Phases 2-3: bucketed pair exchange + per-bucket union-find +
+    driver merge, over an already-emitted (surface, entity_key) pair
+    Dataset."""
+    import ray
+
     # phase 2: hash-partition the pair space on surface (bucketed — the
     # exchange key is a small int, ops.hashagg layout) so each
     # surface's edges land in one partition, then per-partition

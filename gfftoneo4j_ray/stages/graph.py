@@ -854,42 +854,31 @@ def launch_finalize_edges(edge_partials_ds, out_dir: str,
                        write_group)
 
 
-def launch_graph_sink(partials_ds, edges_dir: str, known_ids_hex: set,
-                      num_buckets: int = 64,
-                      coalesce_blocks: int | None = None
-                      ) -> tuple[list, list]:
-    """MERGED streaming graph sink, NON-BLOCKING: one tagged-union
-    partials stream (``GRAPH_PARTIAL_SCHEMA``) → ONE exchange with
-    2×num_buckets reduce tasks. Buckets [0, B) are edge buckets (fused
-    dedup + sort + sorted-part write + mention-count partial, exactly
-    ``launch_finalize_edges``'s kernel); buckets [B, 2B) are node
-    buckets (per-bucket sort + first-per-key dedup of the node
-    partials, exactly ``launch_sorted_node_tables``'s kernel, with
-    label derived from the tag). Returns (edge_count_refs, n1_refs),
-    both un-gotten, in bucket order — compose the entity-slice / merge
-    / counts-side-file waves on them. The calling thread blocks while
-    the upstream Dataset streams (one upstream now, so no worker
-    threads are needed)."""
-    import os
-
+def _tag_bucket_table(t: pa.Table, num_buckets: int) -> pa.Table:
+    """Range-bucket a tagged-union partials table: edge rows (tag=0) to
+    buckets [0, B), node rows to [B, 2B)."""
     import numpy as np
+
+    B = num_buckets
+    t = _append_range_bucket(t, "src", B)
+    tags = t["tag"].to_numpy(zero_copy_only=False)
+    rb = t["_rb"].to_numpy(zero_copy_only=False)
+    rb = np.where(tags == 0, rb, rb + B).astype(np.int32)
+    return t.set_column(t.schema.get_field_index("_rb"), "_rb",
+                        pa.array(rb, pa.int32()))
+
+
+def _make_graph_reduce(edges_dir: str, known_ids_hex: set, num_buckets: int):
+    """The merged graph-sink reduce kernel over 2×num_buckets buckets:
+    [0, B) = edge buckets (fused dedup + sort + sorted-part write +
+    mention-count partial), [B, 2B) = node buckets (sort +
+    first-per-key dedup of the node partials, label from the tag)."""
     import pyarrow.compute as pc
 
-    os.makedirs(edges_dir, exist_ok=True)
-    if coalesce_blocks:
-        partials_ds = partials_ds.repartition(coalesce_blocks)
     known_arr = pa.array(sorted(bytes.fromhex(k) for k in known_ids_hex),
                          pa.binary(20))
     order = [(k, "ascending") for k in ("src", "type", "dst", "pred")]
     B = num_buckets
-
-    def tag_bucket(t: pa.Table) -> pa.Table:
-        t = _append_range_bucket(t, "src", B)
-        tags = t["tag"].to_numpy(zero_copy_only=False)
-        rb = t["_rb"].to_numpy(zero_copy_only=False)
-        rb = np.where(tags == 0, rb, rb + B).astype(np.int32)
-        return t.set_column(t.schema.get_field_index("_rb"), "_rb",
-                            pa.array(rb, pa.int32()))
 
     def reduce_group(rb: int, t: pa.Table | None):
         if rb < B:
@@ -930,12 +919,106 @@ def launch_graph_sink(partials_ds, edges_dir: str, known_ids_hex: set,
             "n_mentions": pa.nulls(n, pa.int64()),
         })
 
-    from ..ops.exchange import reduce_refs, split_refs
+    return reduce_group
 
-    bucketed = partials_ds.map_batches(tag_bucket, batch_format="pyarrow")
+
+def launch_graph_sink(partials_ds, edges_dir: str, known_ids_hex: set,
+                      num_buckets: int = 64,
+                      coalesce_blocks: int | None = None
+                      ) -> tuple[list, list]:
+    """MERGED streaming graph sink, NON-BLOCKING: one tagged-union
+    partials stream (``GRAPH_PARTIAL_SCHEMA``) → ONE exchange with
+    2×num_buckets reduce tasks (``_make_graph_reduce``). Returns
+    (edge_count_refs, n1_refs), both un-gotten, in bucket order —
+    compose the entity-slice / merge / counts-side-file waves on them.
+    The calling thread blocks while the upstream Dataset streams."""
+    import os
+
+    os.makedirs(edges_dir, exist_ok=True)
+    if coalesce_blocks:
+        partials_ds = partials_ds.repartition(coalesce_blocks)
+    B = num_buckets
+
+    from ..ops.exchange import split_refs
+
+    bucketed = partials_ds.map_batches(
+        lambda t: _tag_bucket_table(t, B), batch_format="pyarrow")
     splits = split_refs(bucketed, 2 * B)
-    refs = reduce_refs(splits, 2 * B, reduce_group)
+    return launch_graph_sink_from_splits(splits, edges_dir, known_ids_hex,
+                                         num_buckets)
+
+
+def launch_graph_sink_from_splits(splits: list, edges_dir: str,
+                                  known_ids_hex: set, num_buckets: int
+                                  ) -> tuple[list, list]:
+    """Reduce wave of the merged graph sink over an already-launched
+    split wave (any mix of ``split_refs`` outputs and
+    ``launch_emit_splits`` groups — each entry is 2×num_buckets bucket
+    slice refs). Non-blocking; returns (edge_count_refs, n1_refs)."""
+    import os
+
+    os.makedirs(edges_dir, exist_ok=True)
+    B = num_buckets
+    from ..ops.exchange import reduce_refs
+
+    refs = reduce_refs(splits, 2 * B,
+                       _make_graph_reduce(edges_dir, known_ids_hex, B))
     return refs[:B], refs[B:]
+
+
+def _row_balanced_groups(refs: list, rows: list, k: int) -> list:
+    """Partition pinned block refs into ≤k contiguous groups of roughly
+    equal row counts (greedy; unknown row counts weigh 1)."""
+    k = max(1, min(k, len(refs)))
+    weights = [max(1, r or 1) for r in rows]
+    total = sum(weights)
+    target = total / k
+    groups, cur, acc = [], [], 0.0
+    for ref, w in zip(refs, weights):
+        cur.append(ref)
+        acc += w
+        if acc >= target and len(groups) < k - 1:
+            groups.append(cur)
+            cur, acc = [], 0.0
+    if cur:
+        groups.append(cur)
+    return groups
+
+
+def launch_emit_splits(map_ref, block_refs: list, block_rows: list,
+                       num_buckets: int, target_groups: int) -> list:
+    """Fused EmitGraphPartials + tag + bucket-split wave launched
+    directly over PINNED linked block refs: one raw task per
+    row-balanced group (≈``target_groups`` — the coalesce geometry,
+    see ``sink_geometry``), each returning 2×num_buckets zero-copy
+    bucket slices for ``launch_graph_sink_from_splits``. Compared to
+    the Dataset path this removes the full-width linked repartition,
+    the partials repartition, and the actor-pool startup between the
+    link stream and the sink exchange; the mapping is resolved from
+    plasma once per task (Ray auto-derefs ``map_ref``)."""
+    import ray
+
+    from ..ops.exchange import _split_one
+
+    B = num_buckets
+    nret = max(2 * B, 2)
+
+    @ray.remote(num_returns=nret)
+    def emit_split(mapping, *blocks):
+        emit = EmitGraphPartials(mapping=mapping)
+        parts = [emit(t.select(["url", "subj", "subj_type",
+                                "obj", "obj_type", "pred"]))
+                 for t in blocks if t.num_rows > 0]
+        u = pa.concat_tables(parts, promote_options="default") if parts \
+            else GRAPH_PARTIAL_SCHEMA.empty_table()
+        u = _tag_bucket_table(u, B)
+        sl = _split_one(u, "_rb", 2 * B)
+        return sl + (None,) * (nret - 2 * B)
+
+    if not block_refs:
+        return []
+    groups = _row_balanced_groups(block_refs, block_rows, target_groups)
+    return [emit_split.remote(map_ref, *g) for g in groups]
 
 
 def _merge_count_partials(partials) -> dict:
