@@ -123,8 +123,13 @@ def run_bench() -> dict:
     # full pool immediately. Cap below NUM_CPUS so read/write tasks
     # never starve.
     pool = max(2, NUM_CPUS - 2)
+    # BENCH_SINK_BUCKETS: exercise a non-default sink geometry (e.g.
+    # 512 — the 2-byte range-prefix path) under load; default None =
+    # sink_geometry()'s cluster-sized choice
+    _sb = os.environ.get("BENCH_SINK_BUCKETS")
     cfg = kg.KgConfig(triples_concurrency=pool, link_concurrency=pool,
                       canon_concurrency=pool,
+                      sink_buckets=int(_sb) if _sb else None,
                       override_num_blocks=max(256, 8 * NUM_CPUS))
 
     # this host's throughput swings ~3× over minutes (hypervisor steal;
@@ -204,14 +209,22 @@ def run_bench() -> dict:
             # checkpointed stage's row count on the same input
             edir = res["edges_dir"]
             n_triples = 0
+            n_edge_rows = 0
             for f in os.listdir(edir):
                 if f.startswith("part-") and f.endswith(".parquet"):
                     t = pq.read_table(os.path.join(edir, f),
                                       columns=["type", "weight"])
+                    n_edge_rows += t.num_rows
                     import pyarrow.compute as pc
                     n_triples += pc.sum(pc.if_else(
                         pc.equal(t["type"], "asserts"), t["weight"],
                         0)).as_py() or 0
+            # sink output row counts (last run) — lets a non-default
+            # BENCH_SINK_BUCKETS run prove identical output vs default
+            n_node_rows = sum(
+                pq.read_metadata(os.path.join(res["nodes_dir"], f)).num_rows
+                for f in os.listdir(res["nodes_dir"])
+                if f.startswith("part-") and f.endswith(".parquet"))
 
     # the resumable (checkpointed) variant, timed once for the record —
     # same input, same output (streaming==checkpointed equality test)
@@ -256,6 +269,9 @@ def run_bench() -> dict:
         "num_cpus": NUM_CPUS,
         "n_pages": n_pages,
         "n_triples": n_triples,
+        "sink_buckets": int(_sb) if _sb else None,
+        "n_edge_rows": locals().get("n_edge_rows"),
+        "n_node_rows": locals().get("n_node_rows"),
         "docs_per_sec": round(n_pages / headline, 1),
         "triples_per_sec": (round(n_triples / headline, 1)
                             if n_triples is not None else None),
