@@ -2,12 +2,12 @@
 
 Images/audio/video are carried as ``binary`` columns with metadata;
 decode / feature-extract / resize / frame-sample are actor-pool
-``map_batches`` stages. Decode is REAL for the uncompressed classic
-formats — PPM/PGM (netpbm P6/P5) and 24-bit uncompressed BMP — via a
-pure-numpy parser (:func:`decode_image`), no codec library needed;
-compressed formats (JPEG/PNG/…) require a codec library that is NOT
-in this container and stay gated behind an import-try with an honest
-``NotImplementedError``. :class:`PayloadFeaturizer` uses a
+``map_batches`` stages. Decode is REAL — no codec library needed —
+for PPM/PGM (netpbm P6/P5), 24-bit uncompressed BMP, and 8-bit
+non-interlaced PNG (stdlib zlib inflate + numpy unfilter,
+:func:`decode_image`); formats whose codecs are NOT in this
+container (JPEG/WebP/…) stay gated behind an import-try with an
+honest ``NotImplementedError``. :class:`PayloadFeaturizer` uses a
 deterministic content-hash fake feature in place of a model forward
 pass so the Ray-side plumbing — schema, batch sizing, actor
 signature, output layout — is real and tested either way.
@@ -45,6 +45,9 @@ def _try_import_decoder():
         return None
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
 def sniff_format(payload: bytes) -> str | None:
     """Magic-byte sniff for the natively-decodable formats."""
     p = payload or b""
@@ -54,6 +57,8 @@ def sniff_format(payload: bytes) -> str | None:
         return "pgm"
     if p[:2] == b"BM":
         return "bmp"
+    if p[:8] == _PNG_MAGIC:
+        return "png"
     return None
 
 
@@ -81,17 +86,147 @@ def _pnm_tokens(p: bytes, need: int) -> tuple[list[int], int]:
     return toks, i + 1  # one whitespace byte after the last token
 
 
+# PNG color type → channels per pixel (8-bit depth; PNG spec §11.2.2)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_chunks(p: bytes):
+    """Yield (type, data) for each PNG chunk, CRC-verified; raises
+    ValueError on truncation, CRC mismatch, or a missing IEND."""
+    import zlib
+
+    i = 8  # past the signature
+    while i + 8 <= len(p):
+        ln = struct.unpack_from(">I", p, i)[0]
+        typ = p[i + 4:i + 8]
+        data = p[i + 8:i + 8 + ln]
+        if len(data) < ln or i + 12 + ln > len(p):
+            raise ValueError("truncated PNG chunk")
+        crc = struct.unpack_from(">I", p, i + 8 + ln)[0]
+        if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {typ!r} CRC mismatch")
+        yield typ, data
+        if typ == b"IEND":
+            return
+        i += 12 + ln
+    raise ValueError("PNG missing IEND")
+
+
+def _png_unfilter(raw: bytes, h: int, w: int, bpp: int) -> np.ndarray:
+    """Reverse PNG scanline filtering (spec §9): (h, w*bpp) uint8.
+
+    Filters None/Up are whole-row vectorized; Sub is a per-channel-lane
+    cumsum (addition mod 256 commutes with the prefix sum); Average and
+    Paeth carry a true per-pixel data dependency and fall back to an
+    in-row loop — the sandbox-native path. A production cluster swaps
+    the whole decode for a codec library; this decoder's job is exact
+    small-scale correctness with zero dependencies."""
+    stride = w * bpp
+    arr = np.frombuffer(raw, np.uint8)
+    if len(arr) < h * (stride + 1):
+        raise ValueError("truncated PNG raster")
+    arr = arr[:h * (stride + 1)].reshape(h, stride + 1)
+    out = np.empty((h, stride), np.uint8)
+    prev = np.zeros(stride, np.int32)
+    for y in range(h):
+        ftype = int(arr[y, 0])
+        line = arr[y, 1:].astype(np.int32)
+        if ftype == 0:
+            rec = line
+        elif ftype == 1:  # Sub: recon[x] = line[x] + recon[x - bpp]
+            rec = (np.cumsum(line.reshape(w, bpp), axis=0,
+                             dtype=np.int64) & 0xFF).astype(np.int32)
+            rec = rec.reshape(stride)
+        elif ftype == 2:  # Up
+            rec = (line + prev) & 0xFF
+        elif ftype in (3, 4):  # Average / Paeth: sequential in x
+            rec = np.zeros(stride, np.int32)
+            for x in range(stride):
+                a = int(rec[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                if ftype == 3:
+                    pred = (a + b) >> 1
+                else:
+                    c = int(prev[x - bpp]) if x >= bpp else 0
+                    pt = a + b - c
+                    da, db, dc = abs(pt - a), abs(pt - b), abs(pt - c)
+                    pred = a if (da <= db and da <= dc) else \
+                        (b if db <= dc else c)
+                rec[x] = (int(line[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[y] = rec.astype(np.uint8)
+        prev = rec
+    return out
+
+
+def _decode_png(p: bytes) -> np.ndarray:
+    """REAL pure-numpy+zlib PNG decode (zlib is stdlib — no codec
+    library needed): 8-bit depth, color types gray/RGB/palette/
+    gray+alpha/RGBA, non-interlaced, CRC-verified. Alpha is dropped
+    (feature extraction reads color planes); palette maps through
+    PLTE. 16-bit depth and Adam7 interlacing raise ValueError (→ the
+    callers' fake-decode fallback)."""
+    import zlib
+
+    ihdr, plte, idat = None, None, []
+    for typ, data in _png_chunks(p):
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"PLTE":
+            if len(data) % 3:
+                raise ValueError("bad PLTE length")
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat.append(data)
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, ctype, comp, filt, interlace = ihdr
+    if depth != 8:
+        raise ValueError(f"only 8-bit PNG supported (depth {depth})")
+    if comp or filt:
+        raise ValueError("bad PNG compression/filter method")
+    if interlace:
+        raise ValueError("interlaced (Adam7) PNG not supported")
+    if ctype not in _PNG_CHANNELS:
+        raise ValueError(f"bad PNG color type {ctype}")
+    if not w or not h or w * h > (64 << 20):
+        raise ValueError(f"bad PNG dimensions {w}x{h}")
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG IDAT: {e}") from None
+    ch = _PNG_CHANNELS[ctype]
+    img = _png_unfilter(raw, h, w, ch).reshape(h, w, ch)
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        idx = img[..., 0]
+        if int(idx.max()) >= len(plte):
+            raise ValueError("palette index out of range")
+        return np.ascontiguousarray(plte[idx])
+    if ctype == 0:
+        return img[..., 0]
+    if ctype == 4:  # gray+alpha → luma plane
+        return np.ascontiguousarray(img[..., 0])
+    return np.ascontiguousarray(img[..., :3])  # RGB / RGBA → RGB
+
+
 def decode_image(payload: bytes) -> np.ndarray:
     """Decode an image payload to a numpy array — (h, w, 3) uint8 for
     color, (h, w) uint8 for grayscale.
 
-    REAL (pure numpy, no libraries) for the uncompressed classics:
-    netpbm P6 (PPM color) / P5 (PGM grayscale) with maxval ≤ 255, and
-    24-bit uncompressed bottom-up/top-down BMP. Compressed formats
-    need a codec library (PIL/opencv — absent in this container) and
-    raise ``NotImplementedError`` unless one is importable."""
+    REAL (pure numpy + stdlib zlib, no codec libraries) for: netpbm
+    P6 (PPM color) / P5 (PGM grayscale) with maxval ≤ 255, 24-bit
+    uncompressed bottom-up/top-down BMP, and 8-bit non-interlaced PNG
+    (gray/RGB/palette/gray+alpha/RGBA — see :func:`_decode_png`).
+    Formats needing an external codec (JPEG/WebP/…, absent in this
+    container) raise ``NotImplementedError`` unless one is
+    importable."""
     p = payload or b""
     fmt = sniff_format(p)
+    if fmt == "png":
+        return _decode_png(p)
     if fmt in ("ppm", "pgm"):
         (w, h, maxval), off = _pnm_tokens(p, 3)
         if maxval > 255:
@@ -120,7 +255,8 @@ def decode_image(payload: bytes) -> np.ndarray:
     if dec is None:
         raise NotImplementedError(
             "compressed-image decode requires PIL/opencv (not in this "
-            "container); PPM/PGM/24-bit-BMP decode natively, and "
+            "container); PPM/PGM/24-bit-BMP/8-bit-PNG decode natively, "
+            "and "
             "PayloadFeaturizer's deterministic fake features cover the "
             "rest of the plumbing")
     import io
@@ -215,7 +351,8 @@ class ImageResizer:
     tensors as ``list<uint8>`` of length out_h×out_w (the flat layout
     every Arrow consumer — and Ray's tensor extension — can read
     zero-copy). Payloads that sniff as a natively-decodable format
-    (PPM/PGM/24-bit BMP) go through the REAL ``decode_image`` → luma →
+    (PPM/PGM/24-bit BMP/8-bit PNG) go through the REAL
+    ``decode_image`` → luma →
     resize path; anything else (html, compressed formats) falls back
     to the deterministic ``fake_decode`` so the plumbing stays total."""
 

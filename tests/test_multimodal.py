@@ -261,3 +261,121 @@ def test_truncated_sniffable_payloads_fall_back():
     assert out.num_rows == len(bad)
     # every malformed payload landed on the fake-feature path
     assert out["sample_rate"].to_pylist() == [0] * len(bad)
+
+
+# ---------------------------------------------------------------------------
+# native PNG decode (pure numpy + stdlib zlib)
+# ---------------------------------------------------------------------------
+
+def _png_bytes(img, *, color_type=None, filters=0, palette=None,
+               interlace=0, depth=8):
+    """Minimal reference PNG encoder for the decode tests: applies the
+    requested filter type(s) per scanline exactly per the spec, so the
+    decoder's unfilter math is checked against an independent forward
+    implementation (not round-tripped through itself)."""
+    import struct
+    import zlib
+
+    if img.ndim == 2:
+        img = img[..., None]
+    h, w, ch = img.shape
+    if color_type is None:
+        color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    if isinstance(filters, int):
+        filters = [filters] * h
+    raw = bytearray()
+    prev = np.zeros((w, ch), np.int32)
+    for y, f in zip(range(h), filters):
+        line = img[y].astype(np.int32)
+        if f == 0:
+            enc = line
+        elif f == 1:
+            left = np.vstack([np.zeros((1, ch), np.int32), line[:-1]])
+            enc = (line - left) & 0xFF
+        elif f == 2:
+            enc = (line - prev) & 0xFF
+        elif f == 3:
+            left = np.vstack([np.zeros((1, ch), np.int32), line[:-1]])
+            enc = (line - ((left + prev) >> 1)) & 0xFF
+        elif f == 4:
+            enc = np.empty_like(line)
+            for x in range(w):
+                for c in range(ch):
+                    a = int(line[x - 1, c]) if x else 0
+                    b = int(prev[x, c])
+                    cc = int(prev[x - 1, c]) if x else 0
+                    pt = a + b - cc
+                    da, db, dc = abs(pt - a), abs(pt - b), abs(pt - cc)
+                    pred = a if (da <= db and da <= dc) else \
+                        (b if db <= dc else cc)
+                    enc[x, c] = (int(line[x, c]) - pred) & 0xFF
+        raw += bytes([f]) + enc.astype(np.uint8).tobytes()
+        prev = line
+
+    def chunk(typ, data):
+        return struct.pack(">I", len(data)) + typ + data + \
+            struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+
+    out = b"\x89PNG\r\n\x1a\n"
+    out += chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, depth,
+                                      color_type, 0, 0, interlace))
+    if palette is not None:
+        out += chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+    out += chunk(b"IDAT", zlib.compress(bytes(raw)))
+    out += chunk(b"IEND", b"")
+    return out
+
+
+@pytest.mark.parametrize("filt", [0, 1, 2, 3, 4])
+def test_decode_png_rgb_every_filter(rgb_img, filt):
+    out = multimodal.decode_image(_png_bytes(rgb_img, filters=filt))
+    np.testing.assert_array_equal(out, rgb_img)
+
+
+def test_decode_png_mixed_filters_and_gray(rgb_img):
+    # per-row mixed filters exercise the prev-row carry across types
+    out = multimodal.decode_image(_png_bytes(rgb_img,
+                                             filters=[0, 4, 1, 3, 2, 4]))
+    np.testing.assert_array_equal(out, rgb_img)
+    gray = rgb_img[..., 1]
+    np.testing.assert_array_equal(
+        multimodal.decode_image(_png_bytes(gray, filters=2)), gray)
+
+
+def test_decode_png_palette_and_alpha(rgb_img):
+    rng = np.random.default_rng(7)
+    pal = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, size=(5, 4), dtype=np.uint8)
+    got = multimodal.decode_image(
+        _png_bytes(idx, color_type=3, filters=1, palette=pal))
+    np.testing.assert_array_equal(got, pal[idx])
+    # RGBA → RGB (alpha dropped), gray+alpha → luma plane
+    rgba = np.dstack([rgb_img, rgb_img[..., 0]])
+    np.testing.assert_array_equal(
+        multimodal.decode_image(_png_bytes(rgba, filters=4)), rgb_img)
+    ga = np.dstack([rgb_img[..., 0], rgb_img[..., 1]])
+    np.testing.assert_array_equal(
+        multimodal.decode_image(_png_bytes(ga, color_type=4, filters=3)),
+        rgb_img[..., 0])
+
+
+def test_decode_png_rejects_and_falls_back(rgb_img):
+    ok = _png_bytes(rgb_img)
+    with pytest.raises(ValueError):  # CRC corruption must not decode
+        bad = bytearray(ok)
+        bad[-20] ^= 0xFF  # inside IDAT payload
+        multimodal.decode_image(bytes(bad))
+    with pytest.raises(ValueError):  # truncated mid-chunk
+        multimodal.decode_image(ok[:40])
+    with pytest.raises(ValueError):  # Adam7
+        multimodal.decode_image(_png_bytes(rgb_img, interlace=1))
+    with pytest.raises(ValueError):  # 16-bit depth
+        multimodal.decode_image(_png_bytes(rgb_img, depth=16))
+    # the total-stage contract: all of the above land on the fake path
+    payloads = [ok[:40], _png_bytes(rgb_img, interlace=1), ok]
+    t = pa.table({"url": pa.array(["a", "b", "c"]),
+                  "html": pa.array(payloads, pa.binary())})
+    out = multimodal.ImageResizer(out_hw=(2, 2))(t)
+    assert out.num_rows == 3
+    want = multimodal.resize_nn(multimodal.to_gray(rgb_img), 2, 2)
+    assert out["pixels"].to_pylist()[2] == want.reshape(-1).tolist()
