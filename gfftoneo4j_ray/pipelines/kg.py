@@ -427,6 +427,11 @@ def run(pages_path: str, dict_path: str, out_root: str, *,
         group: list = []
         for bundle in linked.iter_internal_ref_bundles():
             for blk, bmeta in bundle.blocks:
+                if not bmeta.num_rows:
+                    # empty blocks (possibly zero-column Ray sentinels,
+                    # e.g. every page filtered by the lang gate) carry
+                    # nothing and may lack the linked schema — skip
+                    continue
                 block_refs.append(blk)
                 block_rows.append(bmeta.num_rows)
                 group.append(blk)

@@ -46,7 +46,14 @@ _S, _E = "s:", "e:"
 
 def emit_pairs_batch(batch: pa.Table) -> pa.Table:
     """Per-batch combiner: distinct (surface, entity_key) edges of this
-    batch — fully vectorized (arrow filter + group_by distinct)."""
+    batch — fully vectorized (arrow filter + group_by distinct).
+
+    Total over empty inputs: a 0-row block may be a zero-column Ray
+    sentinel (an all-filtered stream), which must yield the empty
+    pairs table, not a KeyError."""
+    if batch.num_rows == 0 or "subj" not in batch.column_names:
+        return pa.schema([("surface", pa.string()),
+                          ("entity_key", pa.string())]).empty_table()
     parts = []
     for side in ("subj", "obj"):
         t = batch.select([side, f"{side}_key", f"{side}_resolved"]) \

@@ -95,3 +95,117 @@ def test_text_verify_lineage(ray_session, tiny_corpus, tmp_path):
     mism = json.load(open(os.path.join(out, "_lineage", "text_mismatch.json")))
     assert len(mism) == 1
     assert mism[0]["url"] == t.column("url")[3].as_py()
+
+
+# ---------------------------------------------------------------------------
+# WARC source (Common-Crawl-style container files)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture()
+def warc_files(tmp_path, tiny_corpus):
+    """Two WARC shards from the corpus — one plain, one with the
+    Common-Crawl one-gzip-member-per-record layout."""
+    from gfftoneo4j_ray.sources.warc import write_warc
+
+    pages = pq.read_table(f"{tiny_corpus}/pages")
+    a = write_warc(pages.slice(0, 30), str(tmp_path / "a.warc"))
+    b = write_warc(pages.slice(30, 30), str(tmp_path / "b.warc.gz"),
+                   gzip_members=True)
+    return [a, b], pages.slice(0, 60)
+
+
+def test_warc_roundtrip_plain_and_gzip(ray_session, warc_files):
+    from gfftoneo4j_ray.sources.warc import read_warc, split_quarantine
+
+    paths, pages = warc_files
+    clean, quar = split_quarantine(read_warc(paths))
+    df = clean.to_pandas()
+    assert quar.count() == 0
+    assert len(df) == 60
+    src = pages.to_pandas()
+    got = dict(zip(df["url"], df["html"]))
+    assert all(got[u] == h for u, h in zip(src["url"], src["html"]))
+    # WARC-Date survives at second precision
+    ts = df.merge(src[["url", "warc_ts"]], on="url",
+                  suffixes=("_got", "_want"))
+    assert (ts["warc_ts_got"].dt.floor("s")
+            == ts["warc_ts_want"].dt.floor("s")).all()
+
+
+def test_warc_skips_non_document_records_and_quarantines(ray_session,
+                                                         tmp_path):
+    from gfftoneo4j_ray.sources.warc import parse_warc_bytes, read_warc
+
+    # a crawl-metadata record, a clean response, then a truncated one
+    info = (b"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 4\r\n"
+            b"\r\nmeta\r\n\r\n")
+    http = b"HTTP/1.1 200 OK\r\n\r\n<html><p>hi</p></html>"
+    resp = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+            b"WARC-Target-URI: http://x.example/\r\n"
+            b"WARC-Date: 2024-01-02T03:04:05Z\r\n"
+            + b"Content-Length: %d\r\n\r\n" % len(http)
+            + http + b"\r\n\r\n")
+    trunc = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+             b"WARC-Target-URI: http://y.example/\r\n"
+             b"Content-Length: 9999\r\n\r\nshort")
+    rows = parse_warc_bytes(info + resp + trunc)
+    assert [r[3] for r in rows] == [None, "truncated WARC payload"]
+    assert rows[0][0] == "http://x.example/"
+    assert rows[0][2] == b"<html><p>hi</p></html>"
+
+    p = tmp_path / "mixed.warc"
+    p.write_bytes(info + resp)
+    df = read_warc([str(p)]).to_pandas()
+    assert len(df) == 1 and df["_malformed"].isnull().all()
+    assert df["warc_ts"].iloc[0].isoformat().startswith("2024-01-02T03:04:05")
+
+    with pytest.raises(ValueError):
+        parse_warc_bytes(trunc, on_error="raise")
+
+
+def test_pipeline_from_warc(ray_session, warc_files, tiny_corpus, tmp_path):
+    """The WARC source feeds the same KG pipeline as parquet/jsonl,
+    with language predicted at ingest (WARC has no lang field)."""
+    from gfftoneo4j_ray.pipelines import kg
+    from gfftoneo4j_ray.sources.warc import read_warc, split_quarantine
+
+    def _annotate_lang(t):
+        # ingest-time language ID: WARC carries no language — predict
+        # from the extracted text, overwriting the 'und' placeholder
+        from gfftoneo4j_ray.functions.textstats import lang_id_batch
+        from gfftoneo4j_ray.stages.extract_text import extract_text_batch
+
+        pred = lang_id_batch(extract_text_batch(t), text_col="text",
+                             id_col="url")
+        return t.set_column(t.schema.get_field_index("lang"), "lang",
+                            pred["lang_pred"])
+
+    paths, _ = warc_files
+    clean, _ = split_quarantine(read_warc(paths))
+    pages_dir = str(tmp_path / "pages_pq")
+    clean.map_batches(_annotate_lang, batch_format="pyarrow") \
+        .write_parquet(pages_dir)
+    res = kg.run(pages_dir, f"{tiny_corpus}/dictionary.parquet",
+                 str(tmp_path / "out"), checkpointed=False)
+    assert pq.read_table(res["nodes_dir"]).num_rows > 0
+
+
+def test_streaming_kg_run_all_pages_filtered(ray_session, warc_files,
+                                             tiny_corpus, tmp_path):
+    """An all-filtered stream (every page 'und' → dropped by the lang
+    gate) must produce EMPTY node/edge tables, not crash the streaming
+    sink on Ray's zero-column empty blocks."""
+    from gfftoneo4j_ray.pipelines import kg
+    from gfftoneo4j_ray.sources.warc import read_warc, split_quarantine
+
+    paths, _ = warc_files
+    clean, _ = split_quarantine(read_warc(paths))  # lang stays 'und'
+    pages_dir = str(tmp_path / "pages_und")
+    clean.write_parquet(pages_dir)
+    res = kg.run(pages_dir, f"{tiny_corpus}/dictionary.parquet",
+                 str(tmp_path / "out"), checkpointed=False)
+    nodes = pq.read_table(res["nodes_dir"])
+    edges = pq.read_table(res["edges_dir"])
+    # page nodes / order edges need no lang; entity rows must be absent
+    assert nodes.num_rows == 60  # one page node per clean WARC record
+    assert set(edges.column("type").to_pylist()) <= {"order"}
