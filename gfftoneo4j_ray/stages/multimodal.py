@@ -30,11 +30,14 @@ FEATURE_DIM = 8
 
 # every error a malformed-but-sniffable payload can raise out of the
 # native decoders: struct.error covers truncated fixed headers (a
-# payload starting 'BM' or 'RIFF..WAVE' shorter than the header), the
-# others cover bad field values. The decode stages catch exactly this
-# tuple so they stay TOTAL over arbitrary web payloads — one malformed
-# payload must never kill a map task.
-_DECODE_ERRORS = (ValueError, NotImplementedError, struct.error)
+# payload starting 'BM' or 'RIFF..WAVE' shorter than the header);
+# IndexError/KeyError cover truncated JPEG table segments and scans
+# referencing undeclared table ids; the others cover bad field
+# values. The decode stages catch exactly this tuple so they stay
+# TOTAL over arbitrary web payloads — one malformed payload must
+# never kill a map task.
+_DECODE_ERRORS = (ValueError, NotImplementedError, struct.error,
+                  IndexError, KeyError)
 
 
 def _try_import_decoder():
@@ -59,6 +62,8 @@ def sniff_format(payload: bytes) -> str | None:
         return "bmp"
     if p[:8] == _PNG_MAGIC:
         return "png"
+    if p[:3] == b"\xff\xd8\xff":
+        return "jpeg"
     return None
 
 
@@ -227,6 +232,10 @@ def decode_image(payload: bytes) -> np.ndarray:
     fmt = sniff_format(p)
     if fmt == "png":
         return _decode_png(p)
+    if fmt == "jpeg":
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(p)
     if fmt in ("ppm", "pgm"):
         (w, h, maxval), off = _pnm_tokens(p, 3)
         if maxval > 255:
