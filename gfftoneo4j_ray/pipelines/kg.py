@@ -104,6 +104,28 @@ def _canonical_schema() -> pa.Schema:
     return pa.schema(fields)
 
 
+def stage_fingerprint(pages_path: str, n_pages: int, cfg: KgConfig,
+                      dict_table: pa.Table) -> str:
+    """The stage-resume identity: input path + row count + committed
+    stage-format version + extractor + dictionary identity. Bumping
+    ``fmt`` invalidates checkpoints whose committed schema changed;
+    the dictionary id keeps a resume with a different --dictionary
+    from silently reusing links made with the old one. Shared with
+    the incremental pipeline, which pre-commits delta-merged stages
+    under this exact fingerprint so ``run(resume=True)`` adopts them."""
+    import hashlib as _hl
+
+    extractor_name = (cfg.extractor_cls or triples.TripleExtractor).__name__
+    dict_id = _hl.sha1(
+        b"\x00".join(k.encode() for k in
+                     dict_table.column("entity_key").to_pylist())
+    ).hexdigest()[:12]
+    # fmt3: range-bucketed sorted parts + _mention_counts side file
+    return (f"{pages_path}:{n_pages}:fmt3"
+            f":vt{int(cfg.verify_text)}:{extractor_name}"
+            f":dict{dict_table.num_rows}-{dict_id}")
+
+
 def _write_stage(ds, tmp: str, fallback_schema: pa.Schema) -> None:
     """write_parquet + guarantee ≥1 schema-correct part file: Ray writes
     NOTHING for an empty dataset (e.g. all pages filtered by lang),
@@ -173,17 +195,8 @@ def run(pages_path: str, dict_path: str, out_root: str, *,
     # version invalidates checkpoints whose committed schema changed.
     # The dictionary identity is included so a resume with a different
     # --dictionary cannot silently reuse links made with the old one.
-    import hashlib as _hl
-
-    extractor_name = (cfg.extractor_cls or triples.TripleExtractor).__name__
-    dict_id = _hl.sha1(
-        b"\x00".join(k.encode() for k in
-                     dict_table.column("entity_key").to_pylist())
-    ).hexdigest()[:12]
-    # fmt3: range-bucketed sorted parts + _mention_counts side file
-    fingerprint = (f"{pages_path}:{pages.count()}:fmt3"
-                   f":vt{int(cfg.verify_text)}:{extractor_name}"
-                   f":dict{dict_table.num_rows}-{dict_id}")
+    fingerprint = stage_fingerprint(pages_path, pages.count(), cfg,
+                                    dict_table)
 
     # ---- stage: text ------------------------------------------------------
     # ONE extraction pass: commit ALL rows (clean + quarantined, with the
