@@ -461,7 +461,7 @@ def run(pages_path: str, dict_path: str, out_root: str, *,
         known_ids = {nid for _, nid in mapping.values()}
         mark("mapping")
 
-        emit_splits = graph.launch_emit_splits(
+        emit_splits, count_refs = graph.launch_emit_splits(
             map_ref, block_refs, block_rows, B, sink_coalesce)
         th.join()
         if page_err:
@@ -470,11 +470,15 @@ def run(pages_path: str, dict_path: str, out_root: str, *,
             page_splits + emit_splits, edges_dir, known_ids, B)
         mark("sink upstreams")
 
+        # the mention-count partials come from the EMIT wave (map-side
+        # sums — same totals as the per-bucket aggregates), so the
+        # entity build + node merges overlap the edge sort+write IO;
+        # edge_refs must then be awaited explicitly in the final gather
         ent = graph.launch_entity_node_slices(map_ref, type_of,
-                                              edge_refs, B)
+                                              count_refs, B)
         writes = graph.launch_merge_write_nodes(n1, ent, nodes_dir, B)
-        side = graph.launch_counts_side_file(edges_dir, edge_refs)
-        ray.get(writes + [side])
+        side = graph.launch_counts_side_file(edges_dir, count_refs)
+        ray.get(writes + [side] + edge_refs)
         del block_refs  # release the pinned linked blocks
         for d, schema in ((edges_dir, graph.EDGES_SCHEMA),
                           (nodes_dir, graph.NODES_SCHEMA)):

@@ -986,39 +986,61 @@ def _row_balanced_groups(refs: list, rows: list, k: int) -> list:
 
 
 def launch_emit_splits(map_ref, block_refs: list, block_rows: list,
-                       num_buckets: int, target_groups: int) -> list:
+                       num_buckets: int, target_groups: int
+                       ) -> tuple[list, list]:
     """Fused EmitGraphPartials + tag + bucket-split wave launched
     directly over PINNED linked block refs: one raw task per
     row-balanced group (≈``target_groups`` — the coalesce geometry,
     see ``sink_geometry``), each returning 2×num_buckets zero-copy
-    bucket slices for ``launch_graph_sink_from_splits``. Compared to
-    the Dataset path this removes the full-width linked repartition,
-    the partials repartition, and the actor-pool startup between the
-    link stream and the sink exchange; the mapping is resolved from
-    plasma once per task (Ray auto-derefs ``map_ref``)."""
+    bucket slices for ``launch_graph_sink_from_splits`` PLUS one
+    mention-count partial. Returns (split_groups, count_refs).
+
+    The count partials are computed here, MAP-SIDE, rather than in the
+    edge reduce: partial per-dst weight sums add up to the aggregated
+    totals, and the known-entity id set derives from the mapping the
+    task already holds — so the entity-node build (and therefore the
+    whole node sink) depends only on this wave, fully overlapping the
+    edge buckets' sort+write IO instead of waiting behind it (the
+    measured reduce-tail idle window, BASELINE.md round-3 profile).
+
+    Compared to the Dataset path this removes the full-width linked
+    repartition, the partials repartition, and the actor-pool startup
+    between the link stream and the sink exchange; the mapping is
+    resolved from plasma once per task (Ray auto-derefs ``map_ref``)."""
     import ray
 
     from ..ops.exchange import _split_one
 
     B = num_buckets
-    nret = max(2 * B, 2)
+    nret = max(2 * B, 2) + 1  # + the map-side mention-count partial
 
     @ray.remote(num_returns=nret)
     def emit_split(mapping, *blocks):
+        import pyarrow.compute as pc
+
         emit = EmitGraphPartials(mapping=mapping)
         parts = [emit(t.select(["url", "subj", "subj_type",
                                 "obj", "obj_type", "pred"]))
                  for t in blocks if t.num_rows > 0]
         u = pa.concat_tables(parts, promote_options="default") if parts \
             else GRAPH_PARTIAL_SCHEMA.empty_table()
+        known = pa.array(
+            sorted(bytes.fromhex(nid)
+                   for nid in {n for _, n in mapping.values()}),
+            pa.binary(20))
+        m = pc.and_(pc.equal(u["type"], "mentions"),
+                    pc.is_in(u["dst"], value_set=known))
+        cm = u.filter(m).group_by("dst").aggregate([("w", "sum")])
+        counts = cm.rename_columns(["dst", "n"]).cast(_EDGE_COUNTS_SCHEMA)
         u = _tag_bucket_table(u, B)
         sl = _split_one(u, "_rb", 2 * B)
-        return sl + (None,) * (nret - 2 * B)
+        return sl + (None,) * (nret - 1 - 2 * B) + (counts,)
 
     if not block_refs:
-        return []
+        return [], []
     groups = _row_balanced_groups(block_refs, block_rows, target_groups)
-    return [emit_split.remote(map_ref, *g) for g in groups]
+    refs = [emit_split.remote(map_ref, *g) for g in groups]
+    return [r[:nret - 1] for r in refs], [r[nret - 1] for r in refs]
 
 
 def _merge_count_partials(partials) -> dict:
