@@ -33,6 +33,12 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 REPEAT = int(os.environ.get("BENCH_REPEAT", "4"))
 
+# must happen BEFORE ray.init so worker processes inherit it (workers
+# get the raylet's environment, fixed at cluster start)
+if os.environ.get("BENCH_INCR_COST_MS"):
+    os.environ.setdefault("RAYKG_MODELED_PAGE_COST_MS",
+                          os.environ["BENCH_INCR_COST_MS"])
+
 
 def _default_bench_root() -> str:
     """Memory-backed staging when available. This sandbox's block device
@@ -149,6 +155,93 @@ def run_bench() -> dict:
     # checkpointed_sec.
     mode = os.environ.get("BENCH_MODE", "stream")
     run_times: list[float] = []
+    if mode == "incremental":
+        # the snapshot-update path: a prior checkpointed run + a
+        # mutated snapshot (BENCH_INCR_CHANGED fraction of pages get
+        # new article content, deterministic); reports the incremental
+        # wall time vs a fresh full checkpointed run on the SAME
+        # mutated input, plus the reuse counters.
+        from gfftoneo4j_ray.pipelines.incremental import run_incremental
+
+        # BENCH_INCR_COST_MS: run both sides under an explicitly
+        # MODELED per-page extractor cost (stages/triples.py::
+        # CostModeledExtractor) — shows the reuse-vs-recompute
+        # economics at production extractor prices (the sandbox's
+        # regex kernel is ~0.1 ms/page; GPU OpenIE/cross-encoder
+        # stages run 1-100 ms/page)
+        cost_ms = float(os.environ.get("BENCH_INCR_COST_MS", "0"))
+        if cost_ms > 0:
+            from dataclasses import replace as _dc_replace
+
+            from gfftoneo4j_ray.stages.triples import CostModeledExtractor
+
+            cfg = _dc_replace(cfg, extractor_cls=CostModeledExtractor)
+
+        frac = float(os.environ.get("BENCH_INCR_CHANGED", "0.01"))
+        step = max(1, int(round(1 / frac)))
+        mut_dir = f"{_pages_cache_dir()}-mut{step}"
+        if not os.path.exists(os.path.join(mut_dir, "_DONE")):
+            import pyarrow as pa
+
+            def mutate(t: pa.Table) -> pa.Table:
+                # url-hash selection: deterministic and block-order
+                # independent (a per-batch counter would not survive
+                # Ray's per-process batch placement)
+                import zlib
+
+                htmls = t["html"].to_pylist()
+                urls = t["url"].to_pylist()
+                out = [
+                    h.replace(
+                        b"</article>",
+                        b"<p>Benchmark delta sentence.</p></article>")
+                    if h and zlib.crc32(u.encode()) % step == 0 else h
+                    for u, h in zip(urls, htmls)]
+                return t.set_column(t.schema.get_field_index("html"),
+                                    "html", pa.array(out, pa.binary()))
+
+            tmp = mut_dir + ".tmp"
+            shutil.rmtree(tmp, ignore_errors=True)
+            shutil.rmtree(mut_dir, ignore_errors=True)
+            ray.data.read_parquet(pages_dir) \
+                .map_batches(mutate, batch_format="pyarrow") \
+                .write_parquet(tmp)
+            os.rename(tmp, mut_dir)
+            open(os.path.join(mut_dir, "_DONE"), "w").write(pages_dir)
+
+        # key every root by the corpus tag: a prev checkpoint from a
+        # DIFFERENT corpus would otherwise be adopted and classify
+        # every url as new
+        tag = os.path.basename(_pages_cache_dir())
+        prev_root = f"{BENCH_ROOT}/incr_prev-{tag}"
+        if not os.path.exists(os.path.join(prev_root, "linked",
+                                           "_SUCCESS.json")):
+            shutil.rmtree(prev_root, ignore_errors=True)
+            kg.run(pages_dir, dict_path, prev_root, cfg=cfg,
+                   checkpointed=True, resume=False)
+        full_root = f"{BENCH_ROOT}/incr_full-{tag}"
+        shutil.rmtree(full_root, ignore_errors=True)
+        t0 = time.perf_counter()
+        kg.run(mut_dir, dict_path, full_root, cfg=cfg,
+               checkpointed=True, resume=False)
+        full_sec = round(time.perf_counter() - t0, 3)
+        incr_root = f"{BENCH_ROOT}/incr_out-{tag}"
+        shutil.rmtree(incr_root, ignore_errors=True)
+        t0 = time.perf_counter()
+        res = run_incremental(prev_root, mut_dir, dict_path, incr_root,
+                              cfg=cfg)
+        incr_sec = round(time.perf_counter() - t0, 3)
+        out = {
+            "metric": "kg_incremental_sec", "value": incr_sec,
+            "unit": "sec", "mode": mode, "full_sec": full_sec,
+            "speedup_vs_full": round(full_sec / incr_sec, 2),
+            "changed_fraction": frac, "n_changed": res["n_changed"],
+            "n_reused": res["n_reused"],
+            "modeled_page_cost_ms": cost_ms or None, "sf": SF_DIR,
+            "num_cpus": NUM_CPUS, "n_pages": n_pages,
+        }
+        ray.shutdown()
+        return out
     if mode == "core":
         # the throughput-metric path: pages → text → triples → linking →
         # canonical triples (no graph sink) — docs/s and triples/s

@@ -26,6 +26,17 @@ What still runs in full, and why it's the cheap part:
 Deleted pages fall out naturally: reuse is a semi-join against the
 NEW snapshot's unchanged urls, so rows of vanished urls are never
 carried forward.
+
+Economics (measured, BASELINE.md round-4): the update's fixed cost is
+text extraction + the slim hash diff + one pass over the committed
+triples/linked tables; its saving is the model stages over unchanged
+pages. With the sandbox's vectorized stand-in extractor (~0.1 ms/page)
+the two sides break even (0.9-1.0× at 1% change, 3.2M pages); under
+an explicitly modeled production extractor cost
+(``RAYKG_MODELED_PAGE_COST_MS``, stages/triples.CostModeledExtractor)
+the saving dominates — 1.8× at 1 ms/page and growing linearly with
+per-page model cost, which is the regime (GPU OpenIE + cross-encoder
+linking) this pipeline is designed for.
 """
 
 from __future__ import annotations
@@ -39,30 +50,64 @@ from ..state.checkpoint import CheckpointedRun
 from . import kg
 
 
+_URL_TH = pa.schema([("url", pa.string()),
+                     ("th1", pa.uint64()), ("th2", pa.uint64())])
+_HASH_SIDE_DIR = "_text_hashes"  # '_' prefix: invisible to parquet
+# dataset discovery; a DIRECTORY of parts so the write is distributed
+
+
 def _text_hashes(text_stage_ds):
-    """Committed text-stage rows → (url, th) where ``th`` is the
-    sha1 over everything the downstream stages can see: extracted
-    text, lang (the triples gate), and the quarantine verdict."""
-    import hashlib
+    """Committed text-stage rows → (url, th1, th2): a 128-bit
+    vectorized row hash (two seeded polars ``hash_rows`` passes — no
+    per-row Python) over everything the downstream stages can see:
+    extracted text, lang (the triples gate), and the quarantine
+    verdict. 128 bits keeps the missed-change collision probability
+    negligible at 10^12 urls. Hash values are stable within one
+    polars build; across upgrades a stored prev-side table simply
+    mismatches everywhere and the update degrades to a full
+    recompute — safe, never stale."""
 
     def to_hash(t: pa.Table) -> pa.Table:
-        hs = []
-        for u, tx, lg, q in zip(t["url"].to_pylist(),
-                                t["text"].to_pylist(),
-                                t["lang"].to_pylist(),
-                                t["quarantine_reason"].to_pylist()):
-            h = hashlib.sha1()
-            for part in (tx, lg, q):
-                h.update(b"\x1f" if part is None else part.encode())
-                h.update(b"\x1e")
-            hs.append(h.digest())
-        return pa.table({"url": t["url"],
-                         "th": pa.array(hs, pa.binary(20))})
+        import polars as pl
+
+        df = pl.from_arrow(t.select(["text", "lang", "quarantine_reason"]))
+        return pa.table({
+            "url": t["url"],
+            "th1": pa.array(df.hash_rows(seed=0).to_numpy()),
+            "th2": pa.array(df.hash_rows(seed=1).to_numpy()),
+        }).cast(_URL_TH)
 
     return text_stage_ds.map_batches(to_hash, batch_format="pyarrow")
 
 
-_URL_TH = pa.schema([("url", pa.string()), ("th", pa.binary(20))])
+def _hashes_for_run(root: str):
+    """(url, th1, th2) for a run's committed text stage — from the
+    stored side artifact when present (written by every incremental
+    run: successive snapshots then never re-read the full prev text
+    column, only this slim table), else computed from the stage."""
+    import ray
+
+    side = os.path.join(root, "text", _HASH_SIDE_DIR)
+    if os.path.exists(os.path.join(side, "_DONE")):
+        return ray.data.read_parquet(side)
+    return _text_hashes(ray.data.read_parquet(
+        os.path.join(root, "text"),
+        columns=["url", "text", "lang", "quarantine_reason"]))
+
+
+def _store_hashes(root: str, hashes_ds) -> None:
+    """Persist the hash side artifact next to the text stage —
+    distributed parquet write (no driver materialization), atomic
+    dir tmp+rename."""
+    import shutil
+
+    side = os.path.join(root, "text", _HASH_SIDE_DIR)
+    tmp = side + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    hashes_ds.write_parquet(tmp)
+    shutil.rmtree(side, ignore_errors=True)
+    os.rename(tmp, side)
+    open(os.path.join(side, "_DONE"), "w").close()
 
 
 def run_incremental(prev_root: str, pages_path: str, dict_path: str,
@@ -102,24 +147,35 @@ def run_incremental(prev_root: str, pages_path: str, dict_path: str,
     text_dir = os.path.join(out_root, "text")
 
     # ---- per-url change detection ----------------------------------------
-    new_h = _text_hashes(ray.data.read_parquet(
-        text_dir, columns=["url", "text", "lang", "quarantine_reason"]))
-    prev_h = _text_hashes(ray.data.read_parquet(
-        os.path.join(prev_root, "text"),
-        columns=["url", "text", "lang", "quarantine_reason"])) \
-        .map_batches(lambda t: t.rename_columns(["url", "th_prev"]),
-                     batch_format="pyarrow")
+    # hash once → slim side artifact (disk-backed, distributed write);
+    # the join then reads (url, 16 bytes) per row on both sides, and
+    # the NEXT snapshot's update never re-reads this run's text at all
+    for root in (out_root, prev_root):
+        # backfill the prev run too: its hashes are computed here
+        # anyway, and storing them upgrades any older full run so the
+        # NEXT snapshot's diff reads only the slim tables
+        if not os.path.exists(os.path.join(root, "text", _HASH_SIDE_DIR,
+                                           "_DONE")):
+            _store_hashes(root, _text_hashes(ray.data.read_parquet(
+                os.path.join(root, "text"),
+                columns=["url", "text", "lang", "quarantine_reason"])))
+    new_h = _hashes_for_run(out_root)
+    prev_h = _hashes_for_run(prev_root).map_batches(
+        lambda t: t.rename_columns(["url", "p1", "p2"]),
+        batch_format="pyarrow")
     diff = hash_join(
         new_h, prev_h, on="url", how="left", num_buckets=num_buckets,
         left_schema=_URL_TH,
         right_schema=pa.schema([("url", pa.string()),
-                                ("th_prev", pa.binary(20))]))
+                                ("p1", pa.uint64()),
+                                ("p2", pa.uint64())]))
 
     import pyarrow.compute as pc
 
     def classify(t: pa.Table) -> pa.Table:
-        same = pc.and_(pc.is_valid(t["th_prev"]),
-                       pc.equal(t["th"], t["th_prev"]))
+        same = pc.and_(pc.and_(pc.is_valid(t["p1"]),
+                               pc.equal(t["th1"], t["p1"])),
+                       pc.equal(t["th2"], t["p2"]))
         return pa.table({"url": t["url"],
                          "unchanged": pc.fill_null(same, False)})
 

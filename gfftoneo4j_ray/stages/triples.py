@@ -114,6 +114,33 @@ class TripleExtractor:
         })
 
 
+class CostModeledExtractor(TripleExtractor):
+    """TripleExtractor plus an EXPLICITLY MODELED per-page cost.
+
+    ``RAYKG_MODELED_PAGE_COST_MS`` (env, float ms/page; workers inherit
+    the driver's env) adds a sleep of cost×rows per batch — openly a
+    model of a production extractor's price (GPU OpenIE / cross-encoder
+    forward passes run 1-100 ms/page; the sandbox's regex kernel runs
+    ~0.1 ms), NOT fake compute pretending to be real. Used by
+    ``BENCH_MODE=incremental`` to show how pipeline economics (reuse vs
+    recompute) shift with extractor cost; the sleep occupies the actor
+    slot exactly like a busy accelerator would."""
+
+    def __init__(self) -> None:
+        import os as _os
+
+        super().__init__()
+        self.cost_ms = float(
+            _os.environ.get("RAYKG_MODELED_PAGE_COST_MS", "0"))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.cost_ms > 0:
+            import time as _time
+
+            _time.sleep(self.cost_ms * batch.num_rows / 1000.0)
+        return super().__call__(batch)
+
+
 def apply(text_ds, concurrency: int | tuple = (1, 4), batch_size: int = 512,
           lang: str | None = "en", extractor_cls: type | None = None):
     """text Dataset → triples Dataset on an actor pool.
