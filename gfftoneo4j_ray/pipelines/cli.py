@@ -37,6 +37,11 @@ def build_parser() -> argparse.ArgumentParser:
                    default=True, help="resume from completed stages")
     p.add_argument("--streaming", action="store_true",
                    help="no per-stage checkpoints; only final tables written")
+    p.add_argument("--incremental-from", default=None, metavar="PREV_ROOT",
+                   help="update the checkpointed run at PREV_ROOT to the "
+                        "new --input snapshot: model stages re-run only "
+                        "for changed pages (pipelines/incremental.py); "
+                        "implies checkpointed mode")
     p.add_argument("--num-cpus", type=int, default=None,
                    help="ray.init num_cpus for standalone runs")
     p.add_argument("--concurrency", type=int, default=4,
@@ -85,8 +90,14 @@ def main(argv=None) -> int:
     cfg = kg.KgConfig(lang=profile.lang, triples_concurrency=pool,
                       link_concurrency=pool, canon_concurrency=pool,
                       extractor_cls=profile.triple_extractor_cls)
-    res = kg.run(args.input, dict_path, args.output, cfg=cfg,
-                 resume=args.resume, checkpointed=not args.streaming)
+    if args.incremental_from:
+        from .incremental import run_incremental
+
+        res = run_incremental(args.incremental_from, args.input,
+                              dict_path, args.output, cfg=cfg)
+    else:
+        res = kg.run(args.input, dict_path, args.output, cfg=cfg,
+                     resume=args.resume, checkpointed=not args.streaming)
     # which cluster served the job (job logs need this to correlate
     # a submitted run with the cluster that executed it)
     res["ray_address"] = ray.get_runtime_context().gcs_address

@@ -45,3 +45,32 @@ def test_cli_job_submit_smoke(ray_session, tiny_corpus, tmp_path):
     # reports the GCS address it actually connected to
     assert res["ray_address"] == gcs, \
         f"driver booted its own cluster ({res['ray_address']} != {gcs})"
+
+
+def test_cli_incremental_update(ray_session, tiny_corpus, tmp_path):
+    """--incremental-from PREV updates a prior checkpointed CLI run:
+    same snapshot → 100% reuse and counters in the result JSON."""
+    gcs = ray_session.get_runtime_context().gcs_address
+    env = {**os.environ, "RAY_ADDRESS": gcs,
+           "PYTHONPATH": REPO + os.pathsep + os.environ.get("PYTHONPATH", "")}
+    base = [sys.executable, "-m", "gfftoneo4j_ray.pipelines.cli",
+            "--input", os.path.join(tiny_corpus, "pages"),
+            "--dictionary", os.path.join(tiny_corpus, "dictionary.parquet"),
+            "--profile", "webtext"]
+    prev = tmp_path / "prev"
+    r = subprocess.run(base + ["--output", str(prev)], env=env,
+                       capture_output=True, text=True, timeout=600, cwd=REPO)
+    assert r.returncode == 0, f"stderr tail: {r.stderr[-3000:]}"
+
+    out = tmp_path / "next"
+    r = subprocess.run(base + ["--output", str(out),
+                               "--incremental-from", str(prev)],
+                       env=env, capture_output=True, text=True,
+                       timeout=600, cwd=REPO)
+    assert r.returncode == 0, f"stderr tail: {r.stderr[-3000:]}"
+    res = json.loads(r.stdout.strip().splitlines()[-1])
+    assert res["n_changed"] == 0 and res["n_reused"] == 240
+
+    import pyarrow.dataset as pads
+
+    assert pads.dataset(res["nodes_dir"], format="parquet").count_rows() > 0
