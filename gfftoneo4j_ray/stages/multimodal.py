@@ -3,11 +3,12 @@
 Images/audio/video are carried as ``binary`` columns with metadata;
 decode / feature-extract / resize / frame-sample are actor-pool
 ``map_batches`` stages. Decode is REAL — no codec library needed —
-for PPM/PGM (netpbm P6/P5), 24-bit uncompressed BMP, and 8-bit
-non-interlaced PNG (stdlib zlib inflate + numpy unfilter,
-:func:`decode_image`); formats whose codecs are NOT in this
-container (JPEG/WebP/…) stay gated behind an import-try with an
-honest ``NotImplementedError``. :class:`PayloadFeaturizer` uses a
+for PPM/PGM (netpbm P6/P5), 24-bit uncompressed BMP, 8-bit PNG
+(sequential or Adam7; stdlib zlib inflate + numpy unfilter), and
+baseline JPEG (:mod:`.jpeg`) — see :func:`decode_image`; the
+remaining formats (progressive JPEG/WebP/…) stay gated behind an
+import-try with an honest ``NotImplementedError``.
+:class:`PayloadFeaturizer` uses a
 deterministic content-hash fake feature in place of a model forward
 pass so the Ray-side plumbing — schema, batch sizing, actor
 signature, output layout — is real and tested either way.
@@ -94,6 +95,10 @@ def _pnm_tokens(p: bytes, need: int) -> tuple[list[int], int]:
 # PNG color type → channels per pixel (8-bit depth; PNG spec §11.2.2)
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
+# Adam7 interlace passes: (x0, y0, dx, dy) per pass (PNG spec §8.2)
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
 
 def _png_chunks(p: bytes):
     """Yield (type, data) for each PNG chunk, CRC-verified; raises
@@ -168,10 +173,10 @@ def _png_unfilter(raw: bytes, h: int, w: int, bpp: int) -> np.ndarray:
 def _decode_png(p: bytes) -> np.ndarray:
     """REAL pure-numpy+zlib PNG decode (zlib is stdlib — no codec
     library needed): 8-bit depth, color types gray/RGB/palette/
-    gray+alpha/RGBA, non-interlaced, CRC-verified. Alpha is dropped
-    (feature extraction reads color planes); palette maps through
-    PLTE. 16-bit depth and Adam7 interlacing raise ValueError (→ the
-    callers' fake-decode fallback)."""
+    gray+alpha/RGBA, sequential or Adam7-interlaced, CRC-verified.
+    Alpha is dropped (feature extraction reads color planes); palette
+    maps through PLTE. 16-bit depth raises ValueError (→ the callers'
+    fake-decode fallback)."""
     import zlib
 
     ihdr, plte, idat = None, None, []
@@ -191,8 +196,8 @@ def _decode_png(p: bytes) -> np.ndarray:
         raise ValueError(f"only 8-bit PNG supported (depth {depth})")
     if comp or filt:
         raise ValueError("bad PNG compression/filter method")
-    if interlace:
-        raise ValueError("interlaced (Adam7) PNG not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"bad PNG interlace method {interlace}")
     if ctype not in _PNG_CHANNELS:
         raise ValueError(f"bad PNG color type {ctype}")
     if not w or not h or w * h > (64 << 20):
@@ -202,7 +207,21 @@ def _decode_png(p: bytes) -> np.ndarray:
     except zlib.error as e:
         raise ValueError(f"corrupt PNG IDAT: {e}") from None
     ch = _PNG_CHANNELS[ctype]
-    img = _png_unfilter(raw, h, w, ch).reshape(h, w, ch)
+    if interlace:  # Adam7: 7 independently-filtered sub-images
+        full = np.zeros((h, w, ch), np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = -(-(w - x0) // dx)
+            ph = -(-(h - y0) // dy)
+            if pw <= 0 or ph <= 0:
+                continue  # empty pass contributes no bytes
+            need = ph * (pw * ch + 1)
+            sub = _png_unfilter(raw[off:off + need], ph, pw, ch)
+            off += need
+            full[y0::dy, x0::dx] = sub.reshape(ph, pw, ch)
+        img = full
+    else:
+        img = _png_unfilter(raw, h, w, ch).reshape(h, w, ch)
     if ctype == 3:
         if plte is None:
             raise ValueError("palette PNG missing PLTE")
@@ -223,8 +242,9 @@ def decode_image(payload: bytes) -> np.ndarray:
 
     REAL (pure numpy + stdlib zlib, no codec libraries) for: netpbm
     P6 (PPM color) / P5 (PGM grayscale) with maxval ≤ 255, 24-bit
-    uncompressed bottom-up/top-down BMP, and 8-bit non-interlaced PNG
-    (gray/RGB/palette/gray+alpha/RGBA — see :func:`_decode_png`).
+    uncompressed bottom-up/top-down BMP, and 8-bit sequential or
+    Adam7-interlaced PNG (gray/RGB/palette/gray+alpha/RGBA — see
+    :func:`_decode_png`).
     Formats needing an external codec (JPEG/WebP/…, absent in this
     container) raise ``NotImplementedError`` unless one is
     importable."""

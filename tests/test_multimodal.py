@@ -281,36 +281,54 @@ def _png_bytes(img, *, color_type=None, filters=0, palette=None,
     h, w, ch = img.shape
     if color_type is None:
         color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
-    if isinstance(filters, int):
-        filters = [filters] * h
+    def _filter_rows(sub, filters_):
+        sh = sub.shape[0]
+        fl = [filters_] * sh if isinstance(filters_, int) else \
+            list(filters_)[:sh]
+        out = bytearray()
+        prev = np.zeros(sub.shape[1:], np.int32)
+        for y, f in zip(range(sh), fl):
+            line = sub[y].astype(np.int32)
+            if f == 0:
+                enc = line
+            elif f == 1:
+                left = np.vstack([np.zeros((1, sub.shape[2]), np.int32),
+                                  line[:-1]])
+                enc = (line - left) & 0xFF
+            elif f == 2:
+                enc = (line - prev) & 0xFF
+            elif f == 3:
+                left = np.vstack([np.zeros((1, sub.shape[2]), np.int32),
+                                  line[:-1]])
+                enc = (line - ((left + prev) >> 1)) & 0xFF
+            elif f == 4:
+                enc = np.empty_like(line)
+                for x in range(sub.shape[1]):
+                    for c in range(sub.shape[2]):
+                        a = int(line[x - 1, c]) if x else 0
+                        b = int(prev[x, c])
+                        cc = int(prev[x - 1, c]) if x else 0
+                        pt = a + b - cc
+                        da, db, dc = abs(pt - a), abs(pt - b), abs(pt - cc)
+                        pred = a if (da <= db and da <= dc) else \
+                            (b if db <= dc else cc)
+                        enc[x, c] = (int(line[x, c]) - pred) & 0xFF
+            out += bytes([f]) + enc.astype(np.uint8).tobytes()
+            prev = line
+        return out
+
     raw = bytearray()
-    prev = np.zeros((w, ch), np.int32)
-    for y, f in zip(range(h), filters):
-        line = img[y].astype(np.int32)
-        if f == 0:
-            enc = line
-        elif f == 1:
-            left = np.vstack([np.zeros((1, ch), np.int32), line[:-1]])
-            enc = (line - left) & 0xFF
-        elif f == 2:
-            enc = (line - prev) & 0xFF
-        elif f == 3:
-            left = np.vstack([np.zeros((1, ch), np.int32), line[:-1]])
-            enc = (line - ((left + prev) >> 1)) & 0xFF
-        elif f == 4:
-            enc = np.empty_like(line)
-            for x in range(w):
-                for c in range(ch):
-                    a = int(line[x - 1, c]) if x else 0
-                    b = int(prev[x, c])
-                    cc = int(prev[x - 1, c]) if x else 0
-                    pt = a + b - cc
-                    da, db, dc = abs(pt - a), abs(pt - b), abs(pt - cc)
-                    pred = a if (da <= db and da <= dc) else \
-                        (b if db <= dc else cc)
-                    enc[x, c] = (int(line[x, c]) - pred) & 0xFF
-        raw += bytes([f]) + enc.astype(np.uint8).tobytes()
-        prev = line
+    if interlace:
+        # real Adam7 layout: 7 independently-filtered sub-images
+        for x0, y0, dx, dy in ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8),
+                               (2, 0, 4, 4), (0, 2, 2, 4), (1, 0, 2, 2),
+                               (0, 1, 1, 2)):
+            sub = img[y0::dy, x0::dx]
+            if sub.shape[0] and sub.shape[1]:
+                raw += _filter_rows(sub, filters)
+    else:
+        raw += _filter_rows(img, [filters] * h
+                            if isinstance(filters, int) else filters)
 
     def chunk(typ, data):
         return struct.pack(">I", len(data)) + typ + data + \
@@ -359,6 +377,26 @@ def test_decode_png_palette_and_alpha(rgb_img):
         rgb_img[..., 0])
 
 
+def test_decode_png_adam7_interlaced(rgb_img):
+    """Real Adam7 layout (7 independently-filtered sub-images, written
+    by the test encoder from the spec) decodes to the exact pixels,
+    for every filter type and for sub-images smaller than a pass."""
+    for filt in (0, 1, 2, 3, 4):
+        out = multimodal.decode_image(
+            _png_bytes(rgb_img, filters=filt, interlace=1))
+        np.testing.assert_array_equal(out, rgb_img)
+    rng = np.random.default_rng(11)
+    big = rng.integers(0, 256, size=(19, 23, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        multimodal.decode_image(_png_bytes(big, filters=4, interlace=1)),
+        big)
+    tiny = rng.integers(0, 256, size=(3, 2), dtype=np.uint8)  # gray,
+    # several passes empty
+    np.testing.assert_array_equal(
+        multimodal.decode_image(_png_bytes(tiny, filters=2, interlace=1)),
+        tiny)
+
+
 def test_decode_png_rejects_and_falls_back(rgb_img):
     ok = _png_bytes(rgb_img)
     with pytest.raises(ValueError):  # CRC corruption must not decode
@@ -367,12 +405,12 @@ def test_decode_png_rejects_and_falls_back(rgb_img):
         multimodal.decode_image(bytes(bad))
     with pytest.raises(ValueError):  # truncated mid-chunk
         multimodal.decode_image(ok[:40])
-    with pytest.raises(ValueError):  # Adam7
-        multimodal.decode_image(_png_bytes(rgb_img, interlace=1))
+    with pytest.raises(ValueError):  # unknown interlace method
+        multimodal.decode_image(_png_bytes(rgb_img, interlace=2))
     with pytest.raises(ValueError):  # 16-bit depth
         multimodal.decode_image(_png_bytes(rgb_img, depth=16))
     # the total-stage contract: all of the above land on the fake path
-    payloads = [ok[:40], _png_bytes(rgb_img, interlace=1), ok]
+    payloads = [ok[:40], _png_bytes(rgb_img, depth=16), ok]
     t = pa.table({"url": pa.array(["a", "b", "c"]),
                   "html": pa.array(payloads, pa.binary())})
     out = multimodal.ImageResizer(out_hw=(2, 2))(t)
