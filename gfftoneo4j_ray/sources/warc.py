@@ -120,6 +120,8 @@ def parse_warc_bytes(data: bytes, *, on_error: str = "quarantine",
         headers = _parse_warc_headers(data[i:hdr_end])
         try:
             length = int(headers[b"content-length"])
+            if length < 0:  # a negative length would move the record
+                raise ValueError(length)  # offset BACKWARDS — refuse
         except (KeyError, ValueError):
             msg = "missing/bad Content-Length"
             if on_error == "raise":

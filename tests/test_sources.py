@@ -162,6 +162,13 @@ def test_warc_skips_non_document_records_and_quarantines(ray_session,
     with pytest.raises(ValueError):
         parse_warc_bytes(trunc, on_error="raise")
 
+    # a negative Content-Length must quarantine, not loop forever
+    neg = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+           b"WARC-Target-URI: http://z.example/\r\n"
+           b"Content-Length: -7\r\n\r\nxxxx")
+    rows = parse_warc_bytes(neg)
+    assert rows == [(None, None, None, "missing/bad Content-Length")]
+
 
 def test_pipeline_from_warc(ray_session, warc_files, tiny_corpus, tmp_path):
     """The WARC source feeds the same KG pipeline as parquet/jsonl,
