@@ -93,6 +93,10 @@ def hash_join(left_ds, right_ds, on, *, right_on=None, how: str = "inner",
         if s is None:
             ds = ds.materialize()
             s = ds.schema()
+        if s is None:  # empty materialized datasets report no schema
+            raise ValueError(
+                "join side has no recoverable schema (empty dataset?) — "
+                "pass left_schema/right_schema")
         return ds, s.base_schema
 
     left_ds, lschema = _ensure_schema(left_ds, left_schema)

@@ -100,6 +100,65 @@ def exact_dedup(docs_ds, text_col: str = "text", id_col: str = "doc_id"):
         .select_columns([id_col, "n_dups"])
 
 
+def snapshot_hashes(docs_ds, text_col: str = "text",
+                    id_col: str = "doc_id"):
+    """→ (text_hash,) distinct content hashes of a snapshot — the slim
+    table :func:`dedup_against_snapshot` diffs later dumps against.
+    Chain dumps by unioning each kept snapshot's table into the
+    running registry (distinct-merged by the next call's anti join)."""
+    def hash_batch(t: pa.Table) -> pa.Table:
+        hs = sorted({hashlib.sha1((x or "").encode("utf-8")).digest()
+                     for x in t[text_col].to_pylist()})  # batch-distinct
+        return append_bucket(
+            pa.table({"text_hash": pa.array(hs, pa.binary(20))}),
+            ["text_hash"], 32)
+
+    from ..ops.exchange import bucketed_map_groups
+    from ..ops.hashagg import append_bucket
+
+    return bucketed_map_groups(
+        docs_ds.map_batches(hash_batch, batch_format="pyarrow"), 32,
+        lambda g: g.group_by(["text_hash"]).aggregate([]))
+
+
+def dedup_against_snapshot(docs_ds, prior_hashes_ds,
+                           text_col: str = "text",
+                           id_col: str = "doc_id",
+                           num_buckets: int = 64):
+    """Cross-snapshot exact dedup — the dedup-across-dumps step of a
+    rolling crawl pipeline: drop every document whose content hash
+    already appears in a prior snapshot's hash registry
+    (:func:`snapshot_hashes`).
+
+    Scale shape: the registry of 10^12 prior documents is NOT
+    broadcastable, so this is a bucketed ANTI join on the 20-byte
+    content hash — map-side sha1, shuffle volume = (hash, id) pairs
+    on the new side + the slim registry, then one semi join carries
+    the surviving documents' full rows. Returns the kept docs
+    Dataset (original schema)."""
+    def hash_batch(t: pa.Table) -> pa.Table:
+        hs = [hashlib.sha1((x or "").encode("utf-8")).digest()
+              for x in t[text_col].to_pylist()]
+        return pa.table({id_col: t[id_col],
+                         "text_hash": pa.array(hs, pa.binary(20))})
+
+    from ..ops.join import hash_join
+
+    pair_schema = pa.schema([(id_col, pa.int64()),
+                             ("text_hash", pa.binary(20))])
+    reg_schema = pa.schema([("text_hash", pa.binary(20))])
+    fresh_ids = hash_join(
+        docs_ds.map_batches(hash_batch, batch_format="pyarrow"),
+        prior_hashes_ds, on="text_hash", how="anti",
+        num_buckets=num_buckets, left_schema=pair_schema,
+        right_schema=reg_schema).drop_columns(["text_hash"])
+    # explicit hint: an all-duplicates dump leaves fresh_ids EMPTY, and
+    # an empty materialized dataset cannot report a schema
+    return hash_join(docs_ds, fresh_ids, on=id_col, how="semi",
+                     num_buckets=num_buckets,
+                     right_schema=pa.schema([(id_col, pa.int64())]))
+
+
 def line_dedup(docs_ds, max_doc_freq: int = 2, text_col: str = "text",
                id_col: str = "doc_id", num_buckets: int = 32):
     """CCNet-style line-level dedup: drop every line whose exact

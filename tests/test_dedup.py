@@ -290,3 +290,40 @@ def test_line_dedup_ccnet_semantics(ray_session):
     assert out == want
     assert 3 not in out          # fully-boilerplate doc removed
     assert out[4] == docs[4]     # intra-doc repeats survive
+
+
+def test_dedup_against_snapshot(planted_docs, ray_session):
+    """Cross-snapshot exact dedup: a new dump keeps only documents
+    whose content hash is absent from the prior registry; registries
+    chain by union."""
+    import ray
+
+    reg = dedup.snapshot_hashes(planted_docs).materialize()
+    assert reg.count() == 7  # 8 docs, one exact-dup pair
+
+    new_rows = pa.table({
+        "doc_id": pa.array([100, 101, 102], pa.int64()),
+        "text": pa.array([
+            "the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the green forest near the river",  # dup of 0
+            "a genuinely new document about incremental crawls",   # fresh
+            "",                                                    # dup of 7
+        ]),
+    })
+    new_docs = ray.data.from_arrow(new_rows)
+    kept = dedup.dedup_against_snapshot(new_docs, reg).to_pandas()
+    assert sorted(kept["doc_id"]) == [101]
+    assert set(kept.columns) == {"doc_id", "text"}
+
+    # chaining: union the kept dump's hashes into the registry — a
+    # THIRD dump repeating doc 101 is then dropped too
+    reg2 = reg.union(dedup.snapshot_hashes(new_docs.filter(
+        lambda r: r["doc_id"] == 101))).materialize()
+    third = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([200, 201], pa.int64()),
+        "text": pa.array([
+            "a genuinely new document about incremental crawls",
+            "yet another brand new page"]),
+    }))
+    kept3 = dedup.dedup_against_snapshot(third, reg2).to_pandas()
+    assert sorted(kept3["doc_id"]) == [201]
