@@ -14,10 +14,12 @@ Prints ONE JSON line:
    "queries": {...}, "sf": ..., "num_cpus": N,
    "docs_per_sec": ..., "triples_per_sec": ...}
 
-``--scaling``: runs the same bench in two fresh processes at
-num_cpus=8 and num_cpus=32 on the same (pre-built, page-cache-warm)
-input and reports throughputs + scaling efficiency
-(= (T_lo/T_hi) / (hi/lo); 1.0 = linear).
+``--scaling``: runs the same bench in two fresh processes at two
+parallelism levels (default 4 vs 16 cpus — BENCH_SCALING_CPUS
+overrides) on the same (pre-built, page-cache-warm) input and reports
+throughputs + scaling efficiency (= (T_lo/T_hi) / (hi/lo);
+1.0 = linear). ``BENCH_MODE=incremental`` measures the
+snapshot-update path instead (see pipelines/incremental.py).
 """
 
 from __future__ import annotations
