@@ -321,15 +321,23 @@ def run_bench() -> dict:
                 for f in os.listdir(res["nodes_dir"])
                 if f.startswith("part-") and f.endswith(".parquet"))
 
-    # the resumable (checkpointed) variant, timed once for the record —
-    # same input, same output (streaming==checkpointed equality test)
+    # the resumable (checkpointed) variant, timed best-of-N with every
+    # run recorded — same input, same output (streaming==checkpointed
+    # equality test). A single-run snapshot once read 44.7 s in a slow
+    # host window vs 28.6 s the round before (BENCH_r04 vs _r03) while
+    # the builder's own same-session runs read 23-37 s: per-run times
+    # in the artifact make that swing attributable instead of looking
+    # like a pipeline regression.
     checkpointed_sec = None
+    ckpt_runs: list[float] = []
     if mode == "stream" and not os.environ.get("BENCH_MODE"):
-        shutil.rmtree(out_root, ignore_errors=True)
-        t0 = time.perf_counter()
-        kg.run(pages_dir, dict_path, out_root, cfg=cfg,
-               checkpointed=True, resume=False)
-        checkpointed_sec = round(time.perf_counter() - t0, 3)
+        for _ in range(max(1, headline_runs)):
+            shutil.rmtree(out_root, ignore_errors=True)
+            t0 = time.perf_counter()
+            kg.run(pages_dir, dict_path, out_root, cfg=cfg,
+                   checkpointed=True, resume=False)
+            ckpt_runs.append(round(time.perf_counter() - t0, 3))
+        checkpointed_sec = min(ckpt_runs)
 
     queries = {}
     qs = E.queries()
@@ -359,6 +367,7 @@ def run_bench() -> dict:
         "headline_runs_sec": run_times or [round(headline, 3)],
         "mode": mode,
         "checkpointed_sec": checkpointed_sec,
+        "checkpointed_runs_sec": ckpt_runs or None,
         "queries": queries,
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,

@@ -159,16 +159,32 @@ def run_incremental(prev_root: str, pages_path: str, dict_path: str,
             _store_hashes(root, _text_hashes(ray.data.read_parquet(
                 os.path.join(root, "text"),
                 columns=["url", "text", "lang", "quarantine_reason"])))
-    new_h = _hashes_for_run(out_root)
-    prev_h = _hashes_for_run(prev_root).map_batches(
-        lambda t: t.rename_columns(["url", "p1", "p2"]),
-        batch_format="pyarrow")
+    from ..ops.hashagg import hash_aggregate
+
+    # ONE row per url on each side before the diff: the side tables are
+    # per page ROW, and a url that appears in several rows would
+    # multiply through the join and could land in both 'changed' and
+    # 'unchanged' (inflating edge weights via reused-plus-fresh
+    # triples). Aggregating per url (hash = min over rows, n = row
+    # count) keeps the join key unique; a url with n != 1 on either
+    # side is conservatively classified CHANGED — its fresh extraction
+    # covers every new row, exactly what a full run does.
+    new_agg = hash_aggregate(
+        _hashes_for_run(out_root), "url",
+        [("th1", "min", "th1"), ("th2", "min", "th2"),
+         ("th1", "count", "tn")], num_buckets=num_buckets)
+    prev_agg = hash_aggregate(
+        _hashes_for_run(prev_root), "url",
+        [("th1", "min", "p1"), ("th2", "min", "p2"),
+         ("th1", "count", "pn")], num_buckets=num_buckets)
     diff = hash_join(
-        new_h, prev_h, on="url", how="left", num_buckets=num_buckets,
-        left_schema=_URL_TH,
+        new_agg, prev_agg, on="url", how="left", num_buckets=num_buckets,
+        left_schema=pa.schema([("url", pa.string()),
+                               ("th1", pa.uint64()), ("th2", pa.uint64()),
+                               ("tn", pa.int64())]),
         right_schema=pa.schema([("url", pa.string()),
-                                ("p1", pa.uint64()),
-                                ("p2", pa.uint64())]))
+                                ("p1", pa.uint64()), ("p2", pa.uint64()),
+                                ("pn", pa.int64())]))
 
     import pyarrow.compute as pc
 
@@ -176,8 +192,12 @@ def run_incremental(prev_root: str, pages_path: str, dict_path: str,
         same = pc.and_(pc.and_(pc.is_valid(t["p1"]),
                                pc.equal(t["th1"], t["p1"])),
                        pc.equal(t["th2"], t["p2"]))
+        single = pc.and_(pc.equal(t["tn"], pa.scalar(1, pa.int64())),
+                         pc.equal(pc.fill_null(t["pn"], 0),
+                                  pa.scalar(1, pa.int64())))
         return pa.table({"url": t["url"],
-                         "unchanged": pc.fill_null(same, False)})
+                         "unchanged": pc.fill_null(pc.and_(same, single),
+                                                   False)})
 
     verdict = diff.map_batches(classify, batch_format="pyarrow")
     flt = (lambda keep: lambda t:

@@ -40,19 +40,28 @@ WARC_SCHEMA = pa.schema([
 _CRLF2 = b"\r\n\r\n"
 
 
-def _gunzip_members(data: bytes) -> bytes:
+def _gunzip_members(data: bytes) -> tuple[bytes, str | None]:
     """Decompress ALL members of a (possibly multi-member) gzip stream
     — CC writes one member per record; ``zlib`` stops at each member
-    boundary, so loop until the tail is consumed."""
+    boundary, so loop until the tail is consumed. Returns
+    ``(decoded, err)``: corrupt bytes (``zlib.error``) keep every
+    record that decoded before the bad member and report the error
+    instead of killing the read task (the quarantine contract covers
+    corruption as well as truncation)."""
     out = []
+    err = None
     while data:
         d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
-        out.append(d.decompress(data))
-        out.append(d.flush())
+        try:
+            out.append(d.decompress(data))
+            out.append(d.flush())
+        except zlib.error as e:
+            err = f"corrupt gzip member: {e}"
+            break
         data = d.unused_data
         if not d.eof:  # truncated member — keep what decoded
             break
-    return b"".join(out)
+    return b"".join(out), err
 
 
 def _parse_warc_headers(block: bytes) -> dict:
@@ -66,14 +75,59 @@ def _parse_warc_headers(block: bytes) -> dict:
     return headers
 
 
-def _http_body(payload: bytes) -> bytes:
+def _dechunk(body: bytes) -> bytes | None:
+    """Decode a Transfer-Encoding: chunked HTTP body (RFC 9112 §7.1):
+    ``<size-hex>[;ext]\\r\\n<data>\\r\\n`` repeated, terminated by a
+    0-size chunk (trailers ignored). Returns ``None`` on malformed or
+    truncated framing — the caller quarantines."""
+    out = []
+    i, n = 0, len(body)
+    while True:
+        j = body.find(b"\r\n", i)
+        if j < 0:
+            return None
+        size_tok = body[i:j].split(b";", 1)[0].strip()
+        try:
+            size = int(size_tok, 16)
+        except ValueError:
+            return None
+        if size < 0:
+            return None
+        if size == 0:
+            return b"".join(out)
+        start = j + 2
+        if start + size + 2 > n or body[start + size:start + size + 2] \
+                != b"\r\n":
+            return None
+        out.append(body[start:start + size])
+        i = start + size + 2
+
+
+def _http_body(payload: bytes) -> tuple[bytes, str | None]:
     """Split an HTTP response message into its body (after the first
-    CRLFCRLF). A payload without an HTTP status line is returned
-    whole (resource records carry the raw document)."""
+    CRLFCRLF), de-chunking ``Transfer-Encoding: chunked`` payloads —
+    Common-Crawl response records frequently carry chunked bodies,
+    whose chunk-size framing lines would otherwise pollute the html
+    column. A payload without an HTTP status line is returned whole
+    (resource records carry the raw document). Returns
+    ``(body, err)``; malformed chunk framing reports an error."""
     if not payload.startswith(b"HTTP/"):
-        return payload
+        return payload, None
     i = payload.find(_CRLF2)
-    return payload[i + 4:] if i >= 0 else b""
+    if i < 0:
+        return b"", None
+    body = payload[i + 4:]
+    # header field names are case-insensitive (RFC 9110 §5.1); the
+    # header block is ~hundreds of bytes, so one lower() is cheap
+    for line in payload[:i].lower().split(b"\r\n")[1:]:
+        k, sep, v = line.partition(b":")
+        if sep and k.strip() == b"transfer-encoding" \
+                and b"chunked" in v:
+            decoded = _dechunk(body)
+            if decoded is None:
+                return b"", "malformed chunked transfer-encoding"
+            return decoded, None
+    return body, None
 
 
 def _parse_ts(v: bytes):
@@ -93,8 +147,11 @@ def parse_warc_bytes(data: bytes, *, on_error: str = "quarantine",
     """One WARC file's bytes → list of (url, ts_us, html, err) tuples
     for its response/resource records (warcinfo/request/metadata are
     skipped — they describe the crawl, not the documents)."""
+    gz_err = None
     if data[:2] == b"\x1f\x8b":
-        data = _gunzip_members(data)
+        data, gz_err = _gunzip_members(data)
+        if gz_err and on_error == "raise":
+            raise ValueError(gz_err)
     rows = []
     i = 0
     n = len(data)
@@ -147,7 +204,16 @@ def parse_warc_bytes(data: bytes, *, on_error: str = "quarantine",
                 raise ValueError(msg)
             rows.append((None, None, None, msg))
             continue
-        rows.append((url, ts, _http_body(payload), None))
+        body, body_err = _http_body(payload)
+        if body_err:
+            msg = f"{body_err} ({url})"
+            if on_error == "raise":
+                raise ValueError(msg)
+            rows.append((None, None, None, msg))
+            continue
+        rows.append((url, ts, body, None))
+    if gz_err:  # records before the corrupt member were kept above
+        rows.append((None, None, None, gz_err))
     return rows
 
 

@@ -124,7 +124,8 @@ def snapshot_hashes(docs_ds, text_col: str = "text",
 def dedup_against_snapshot(docs_ds, prior_hashes_ds,
                            text_col: str = "text",
                            id_col: str = "doc_id",
-                           num_buckets: int = 64):
+                           num_buckets: int = 64,
+                           id_type: pa.DataType | None = None):
     """Cross-snapshot exact dedup — the dedup-across-dumps step of a
     rolling crawl pipeline: drop every document whose content hash
     already appears in a prior snapshot's hash registry
@@ -135,16 +136,27 @@ def dedup_against_snapshot(docs_ds, prior_hashes_ds,
     content hash — map-side sha1, shuffle volume = (hash, id) pairs
     on the new side + the slim registry, then one semi join carries
     the surviving documents' full rows. Returns the kept docs
-    Dataset (original schema)."""
+    Dataset (original schema).
+
+    ``id_type``: the dtype of ``id_col`` — derived from
+    ``docs_ds.schema()`` when omitted (cheap for parquet-backed
+    inputs; pass it explicitly for exchange-backed upstreams whose
+    schema probe would trigger a partial execution)."""
+    if id_type is None:
+        base = getattr(docs_ds.schema(), "base_schema", None)
+        if base is None:
+            raise ValueError("docs_ds reports no schema — pass id_type")
+        id_type = base.field(id_col).type
+
     def hash_batch(t: pa.Table) -> pa.Table:
         hs = [hashlib.sha1((x or "").encode("utf-8")).digest()
               for x in t[text_col].to_pylist()]
-        return pa.table({id_col: t[id_col],
+        return pa.table({id_col: t[id_col].cast(id_type),
                          "text_hash": pa.array(hs, pa.binary(20))})
 
     from ..ops.join import hash_join
 
-    pair_schema = pa.schema([(id_col, pa.int64()),
+    pair_schema = pa.schema([(id_col, id_type),
                              ("text_hash", pa.binary(20))])
     reg_schema = pa.schema([("text_hash", pa.binary(20))])
     fresh_ids = hash_join(
@@ -156,7 +168,7 @@ def dedup_against_snapshot(docs_ds, prior_hashes_ds,
     # an empty materialized dataset cannot report a schema
     return hash_join(docs_ds, fresh_ids, on=id_col, how="semi",
                      num_buckets=num_buckets,
-                     right_schema=pa.schema([(id_col, pa.int64())]))
+                     right_schema=pa.schema([(id_col, id_type)]))
 
 
 def line_dedup(docs_ds, max_doc_freq: int = 2, text_col: str = "text",

@@ -242,10 +242,11 @@ def decode_image(payload: bytes) -> np.ndarray:
 
     REAL (pure numpy + stdlib zlib, no codec libraries) for: netpbm
     P6 (PPM color) / P5 (PGM grayscale) with maxval ≤ 255, 24-bit
-    uncompressed bottom-up/top-down BMP, and 8-bit sequential or
+    uncompressed bottom-up/top-down BMP, 8-bit sequential or
     Adam7-interlaced PNG (gray/RGB/palette/gray+alpha/RGBA — see
-    :func:`_decode_png`).
-    Formats needing an external codec (JPEG/WebP/…, absent in this
+    :func:`_decode_png`), and baseline or progressive JPEG
+    (:mod:`stages.jpeg`; arithmetic-coded JPEG falls back).
+    Formats needing an external codec (WebP/GIF/…, absent in this
     container) raise ``NotImplementedError`` unless one is
     importable."""
     p = payload or b""

@@ -327,3 +327,20 @@ def test_dedup_against_snapshot(planted_docs, ray_session):
     }))
     kept3 = dedup.dedup_against_snapshot(third, reg2).to_pandas()
     assert sorted(kept3["doc_id"]) == [201]
+
+
+def test_dedup_against_snapshot_non_int_ids(planted_docs, ray_session):
+    """The id column's dtype is derived from the docs schema, not
+    assumed int64 — a string-keyed dump (e.g. url ids) works."""
+    import ray
+
+    reg = dedup.snapshot_hashes(planted_docs).materialize()
+    new_docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(["u-dup", "u-new"], pa.string()),
+        "text": pa.array([
+            "the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the green forest near the river",  # dup of 0
+            "a string-keyed brand new page"]),
+    }))
+    kept = dedup.dedup_against_snapshot(new_docs, reg).to_pandas()
+    assert sorted(kept["doc_id"]) == ["u-new"]

@@ -106,6 +106,61 @@ def test_incremental_noop_when_unchanged(ray_session, snapshots,
     pd.testing.assert_frame_equal(pe, ine)
 
 
+def test_incremental_duplicate_urls_stay_consistent(ray_session,
+                                                    tmp_path):
+    """A url that appears in SEVERAL page rows must never be classified
+    both changed and unchanged (the reused-plus-fresh double count):
+    per-url aggregation before the diff classifies any multi-row url as
+    changed, and the incremental graph still equals a fresh full run.
+    Covers both shapes: a url duplicated with one row matching prev and
+    one not, and a url duplicated identically in both snapshots."""
+    import pyarrow as pa
+
+    from gfftoneo4j_ray.gen.pages import write_corpus
+    from gfftoneo4j_ray.pipelines import kg
+    from gfftoneo4j_ray.pipelines.incremental import run_incremental
+
+    src = write_corpus(str(tmp_path / "src"), n=40, shard_rows=40)
+    t = pq.read_table(f"{src}/pages")
+    df = t.to_pandas()
+
+    def _write(frame, name):
+        d = tmp_path / name / "pages"
+        d.mkdir(parents=True)
+        pq.write_table(pa.Table.from_pandas(frame, schema=t.schema,
+                                            preserve_index=False),
+                       str(d / "part-0.parquet"))
+        return str(tmp_path / name / "pages")
+
+    # snapshot A: url_5 appears twice with identical content
+    dup5 = df.iloc[[5]].copy()
+    a_df = pd.concat([df, dup5], ignore_index=True)
+    a_pages = _write(a_df, "A")
+    # snapshot B: url_5 still duplicated identically; url_3 now appears
+    # twice — one row byte-identical to A's, one with changed html/text
+    dup3 = df.iloc[[3]].copy()
+    for col in ("html", "text"):
+        dup3[col] = df.loc[7, col]
+    b_df = pd.concat([df, dup5, dup3], ignore_index=True)
+    b_pages = _write(b_df, "B")
+
+    dict_path = f"{src}/dictionary.parquet"
+    kg.run(a_pages, dict_path, str(tmp_path / "outA"), checkpointed=True)
+    fresh = kg.run(b_pages, dict_path, str(tmp_path / "outB_full"),
+                   checkpointed=True)
+    inc = run_incremental(str(tmp_path / "outA"), b_pages, dict_path,
+                          str(tmp_path / "outB_inc"))
+
+    # counters are per URL: url_3 (mixed rows) and url_5 (multi-row on
+    # both sides) are conservatively changed; the other 38 reuse
+    assert inc["n_changed"] == 2, inc
+    assert inc["n_reused"] == 38, inc
+    fn, fe = _graph_frames(fresh)
+    inn, ine = _graph_frames(inc)
+    pd.testing.assert_frame_equal(fn, inn)
+    pd.testing.assert_frame_equal(fe, ine)
+
+
 def test_incremental_requires_checkpointed_prev(ray_session, snapshots,
                                                 tmp_path):
     from gfftoneo4j_ray.pipelines.incremental import run_incremental

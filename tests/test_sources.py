@@ -170,6 +170,63 @@ def test_warc_skips_non_document_records_and_quarantines(ray_session,
     assert rows == [(None, None, None, "missing/bad Content-Length")]
 
 
+def test_warc_corrupt_gzip_quarantines_keeps_prior_records():
+    """Corrupt (non-truncated) gzip bytes must follow the quarantine
+    contract — records that decoded before the bad member are kept,
+    one quarantine row reports the corruption, and on_error='raise'
+    raises — not an uncaught zlib.error killing the read task."""
+    import gzip
+
+    import pytest
+
+    from gfftoneo4j_ray.sources.warc import parse_warc_bytes
+
+    http = b"HTTP/1.1 200 OK\r\n\r\n<html><p>ok</p></html>"
+    rec = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+           b"WARC-Target-URI: http://a.example/\r\n"
+           b"WARC-Date: 2024-01-02T03:04:05Z\r\n"
+           + b"Content-Length: %d\r\n\r\n" % len(http) + http + b"\r\n\r\n")
+    good = gzip.compress(rec, mtime=0)
+    bad = good[:3] + b"\xff" + good[4:]  # corrupt the gzip header flags
+    rows = parse_warc_bytes(good + bad)
+    assert rows[0][0] == "http://a.example/" and rows[0][3] is None
+    assert rows[-1][3].startswith("corrupt gzip member")
+    with pytest.raises(ValueError, match="corrupt gzip"):
+        parse_warc_bytes(good + bad, on_error="raise")
+
+
+def test_warc_chunked_transfer_encoding_dechunked():
+    """Transfer-Encoding: chunked bodies are de-chunked (the framing
+    lines must not pollute the html column); malformed chunk framing
+    quarantines the record."""
+    import pytest
+
+    from gfftoneo4j_ray.sources.warc import parse_warc_bytes
+
+    body = b"7\r\n<html><\r\n11\r\np>chunked</p></ht\r\n3;ext=1\r\nml>\r\n" \
+           b"0\r\nX-Trailer: t\r\n\r\n"
+    http = (b"HTTP/1.1 200 OK\r\nTransfer-Encoding: Chunked\r\n\r\n" + body)
+    rec = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+           b"WARC-Target-URI: http://c.example/\r\n"
+           b"WARC-Date: 2024-01-02T03:04:05Z\r\n"
+           + b"Content-Length: %d\r\n\r\n" % len(http) + http + b"\r\n\r\n")
+    rows = parse_warc_bytes(rec)
+    assert rows == [("http://c.example/", rows[0][1],
+                     b"<html><p>chunked</p></html>", None)]
+
+    bad_http = (b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+                b"ZZ\r\nnot-hex\r\n0\r\n\r\n")
+    bad = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+           b"WARC-Target-URI: http://d.example/\r\n"
+           + b"Content-Length: %d\r\n\r\n" % len(bad_http)
+           + bad_http + b"\r\n\r\n")
+    rows = parse_warc_bytes(bad)
+    assert rows[0][0] is None
+    assert rows[0][3].startswith("malformed chunked")
+    with pytest.raises(ValueError, match="malformed chunked"):
+        parse_warc_bytes(bad, on_error="raise")
+
+
 def test_pipeline_from_warc(ray_session, warc_files, tiny_corpus, tmp_path):
     """The WARC source feeds the same KG pipeline as parquet/jsonl,
     with language predicted at ingest (WARC has no lang field)."""
