@@ -286,9 +286,9 @@ def q_doc_signatures(sf_dir: str):
 
 
 def q_corpus_prep(sf_dir: str):
-    """The four training-corpus-prep library ops (added in round 3 as
-    pytest-only) in ONE tagged-union driver slot, each value-checked
-    (VERDICT r3 item 4). Common layout (kind, doc_id, val_i, val_s):
+    """The four training-corpus-prep library ops in ONE tagged-union
+    driver slot, each value-checked (VERDICT r3 item 4). Common layout
+    (kind, doc_id, val_i, val_s):
 
       kind='line_dedup' — CCNet line-level dedup survivors
           (val_i = char length, val_s = the reassembled text);
@@ -305,24 +305,24 @@ def q_corpus_prep(sf_dir: str):
       kind='mixture'    — deterministic stratified mixture-sampling
           keepers at rate(src_i) = i/20 (val_i = 1, val_s = source);
           golden oracle, independent sequential recomputation.
-    """
+
+    Execution layout (round 5): the three map-side legs (line_dedup
+    rewrite, contam scan, mixture keep) FUSE into one corpus scan —
+    at 100 TB that is one read instead of three. Their side inputs
+    (the banned-line-hash exchange and the pack bucket exchange, both
+    eager) run overlapped on driver threads first; pack's slim
+    assignment table is the second union branch."""
     import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
+    import ray
+
+    from concurrent.futures import ThreadPoolExecutor
 
     docs = _docs(sf_dir)
-
-    def tag_ld(t: pa.Table) -> pa.Table:
-        n = t.num_rows
-        return pa.table({
-            "kind": pa.array(["line_dedup"] * n, pa.string()),
-            "doc_id": t["doc_id"].cast(pa.int64()),
-            "val_i": pc.utf8_length(t["text"]).cast(pa.int64()),
-            "val_s": t["text"].cast(pa.string()),
-        })
-
-    ld = dedup.line_dedup(docs, max_doc_freq=2) \
-        .map_batches(tag_ld, batch_format="pyarrow")
+    pool = ThreadPoolExecutor(max_workers=2)
+    banned_fut = pool.submit(dedup.banned_line_hashes, docs, 2)
+    pk_fut = pool.submit(A.pack_sequences, docs, 2048)
 
     # probe suite: bounded driver pull (benchmark-suite-sized by
     # construction — 10 docs), the same shape as a real decontamination
@@ -330,18 +330,9 @@ def q_corpus_prep(sf_dir: str):
     probe_texts = pq.read_table(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
         filters=[("doc_id", "<", 10)]).sort_by("doc_id")["text"].to_pylist()
-
-    def tag_ct(t: pa.Table) -> pa.Table:
-        n = t.num_rows
-        return pa.table({
-            "kind": pa.array(["contam"] * n, pa.string()),
-            "doc_id": t["doc_id"].cast(pa.int64()),
-            "val_i": t["n_hits"].cast(pa.int64()),
-            "val_s": pa.array([""] * n, pa.string()),
-        })
-
-    ct = A.contamination_flags(docs, probe_texts, n=8) \
-        .map_batches(tag_ct, batch_format="pyarrow")
+    scan_fn = A.make_contamination_scan(probe_texts, n=8)
+    keep_fn = A.make_mixture_keep({f"src{i}": i / 20 for i in range(20)},
+                                  key_col="source", id_col="doc_id")
 
     def tag_pk(t: pa.Table) -> pa.Table:
         n = t.num_rows
@@ -352,25 +343,40 @@ def q_corpus_prep(sf_dir: str):
             "val_s": t["n_tokens"].cast(pa.string()),
         })
 
-    pk = A.pack_sequences(docs, budget_tokens=2048) \
-        .map_batches(tag_pk, batch_format="pyarrow")
+    banned_ref = ray.put(dedup.collect_banned(banned_fut.result()))
+    rewrite_fn = dedup.make_line_dedup_rewrite(banned_ref)
+    pk = pk_fut.result().map_batches(tag_pk, batch_format="pyarrow")
+    pool.shutdown(wait=False)
 
-    rates = {f"src{i}": i / 20 for i in range(20)}
+    def fused(t: pa.Table) -> pa.Table:
+        ld = rewrite_fn(t)
+        ct = scan_fn(t)
+        mx = keep_fn(t)
+        n_ld, n_ct, n_mx = ld.num_rows, ct.num_rows, mx.num_rows
+        return pa.concat_tables([
+            pa.table({
+                "kind": pa.array(["line_dedup"] * n_ld, pa.string()),
+                "doc_id": ld["doc_id"].cast(pa.int64()),
+                "val_i": pc.utf8_length(ld["text"]).cast(pa.int64()),
+                "val_s": ld["text"].cast(pa.string()),
+            }),
+            pa.table({
+                "kind": pa.array(["contam"] * n_ct, pa.string()),
+                "doc_id": ct["doc_id"].cast(pa.int64()),
+                "val_i": ct["n_hits"].cast(pa.int64()),
+                "val_s": pa.array([""] * n_ct, pa.string()),
+            }),
+            pa.table({
+                "kind": pa.array(["mixture"] * n_mx, pa.string()),
+                "doc_id": mx["doc_id"].cast(pa.int64()),
+                "val_i": pa.array([1] * n_mx, pa.int64()),
+                "val_s": mx["source"].cast(pa.string()),
+            }),
+        ])
 
-    def tag_mx(t: pa.Table) -> pa.Table:
-        n = t.num_rows
-        return pa.table({
-            "kind": pa.array(["mixture"] * n, pa.string()),
-            "doc_id": t["doc_id"].cast(pa.int64()),
-            "val_i": pa.array([1] * n, pa.int64()),
-            "val_s": t["source"].cast(pa.string()),
-        })
-
-    mx = A.mixture_sample(_docs(sf_dir, columns=("doc_id", "source")),
-                          rates, key_col="source", id_col="doc_id") \
-        .map_batches(tag_mx, batch_format="pyarrow")
-
-    return ld.union(ct, pk, mx)
+    fused_ds = _docs(sf_dir, columns=("doc_id", "text", "source")) \
+        .map_batches(fused, batch_format="pyarrow")
+    return fused_ds.union(pk)
 
 
 def q_dedup_exact(sf_dir: str):

@@ -272,7 +272,20 @@ def contamination_flags(docs_ds, probe_texts: list[str], n: int = 8,
     the benchmark suite), ``ray.put`` ONCE, and searchsorted inside
     every map task — a pure map-side scan, no shuffle at all; the
     token hashing + window mix is the vectorized kernel above."""
+    return docs_ds.map_batches(
+        make_contamination_scan(probe_texts, n, text_col, id_col),
+        batch_format="pyarrow")
+
+
+def make_contamination_scan(probe_texts: list[str], n: int = 8,
+                            text_col: str = "text",
+                            id_col: str = "doc_id"):
+    """contamination_flags' per-batch kernel as a reusable function
+    (probe set built and ``ray.put`` at construction) — fused
+    pipelines compose it with other map-side kernels over ONE scan."""
     import ray
+
+    from ..functions.hashing import stable_hash64
 
     w = _ngram_weights(n)
     probe_ref = ray.put(build_probe_set(probe_texts, n))
@@ -281,19 +294,33 @@ def contamination_flags(docs_ds, probe_texts: list[str], n: int = 8,
         from ..stages.dedup import _cached_get
 
         probe = _cached_get(probe_ref)
-        hits = []
-        for txt in t[text_col].to_pylist():
-            hs = _ngram_hashes(_tokenize_one(txt), n, w)
-            if len(hs) == 0 or len(probe) == 0:
-                hits.append(0)
-                continue
-            pos = np.searchsorted(probe, hs)
-            pos_c = np.minimum(pos, len(probe) - 1)
-            hits.append(int((probe[pos_c] == hs).sum()))
+        texts = t[text_col].to_pylist()
+        n_docs = len(texts)
+        # tokenizer stays _tokenize_one (MUST match the probe build
+        # exactly); hashing + window mix + probe lookup run ONCE over
+        # the whole batch's concatenated token stream, with windows
+        # crossing a document boundary masked out
+        tok_lists = [_tokenize_one(x) for x in texts]
+        counts = np.fromiter((len(tl) for tl in tok_lists), np.int64,
+                             n_docs)
+        all_toks = [tok for tl in tok_lists for tok in tl]
+        hits = np.zeros(n_docs, np.int64)
+        if all_toks and len(all_toks) >= n and probe.size:
+            th = stable_hash64(all_toks).astype(np.uint64)
+            win = np.lib.stride_tricks.sliding_window_view(th, n)
+            with np.errstate(over="ignore"):
+                gh = (win * w[None, :]).sum(axis=1, dtype=np.uint64)
+            ends = np.cumsum(counts)
+            doc_of = np.repeat(np.arange(n_docs), counts)[:len(gh)]
+            valid = (np.arange(len(gh)) + n) <= ends[doc_of]
+            pos = np.searchsorted(probe, gh)
+            hit = (probe[np.minimum(pos, probe.size - 1)] == gh) & valid
+            hits = np.bincount(doc_of, weights=hit,
+                               minlength=n_docs).astype(np.int64)
         return pa.table({id_col: t[id_col],
                          "n_hits": pa.array(hits, pa.int64())})
 
-    return docs_ds.map_batches(scan, batch_format="pyarrow")
+    return scan
 
 
 # ---------------------------------------------------------------------------
@@ -370,6 +397,15 @@ def mixture_sample(ds, rates_by_key: dict, key_col: str,
     training pipeline (e.g. downsample low-quality buckets, keep all
     high-quality). Pure map-side, reproducible under any partitioning;
     unknown keys default to rate 0.0 (dropped)."""
+    return ds.map_batches(
+        make_mixture_keep(rates_by_key, key_col, id_col, scale),
+        batch_format="pyarrow")
+
+
+def make_mixture_keep(rates_by_key: dict, key_col: str, id_col: str,
+                      scale: int = 10000):
+    """mixture_sample's per-batch kernel as a reusable function for
+    fused single-scan pipelines."""
     from ..functions.hashing import stable_hash64
 
     thresholds = {k: int(round(v * scale)) for k, v in rates_by_key.items()}
@@ -381,4 +417,4 @@ def mixture_sample(ds, rates_by_key: dict, key_col: str,
                           np.int64, len(keys))
         return t.filter(pa.array(h.astype(np.int64) < thr))
 
-    return ds.map_batches(keep, batch_format="pyarrow")
+    return keep

@@ -171,99 +171,219 @@ def dedup_against_snapshot(docs_ds, prior_hashes_ds,
                      right_schema=pa.schema([(id_col, id_type)]))
 
 
+def _split_lines(t: pa.Table, id_col: str, text_col: str):
+    """Vectorized line explode shared by both line_dedup passes:
+    batch → (doc_ids_flat int64, flat lines StringArray, line-hash
+    int64 view, per-doc line counts). Arrow split_pattern does the
+    split; the only per-row cost left is the siphash over line strings
+    (C-vectorized in stable_hash64)."""
+    from ..functions.hashing import stable_hash64
+
+    ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64,
+                                                          copy=False)
+    texts = pc.fill_null(t[text_col], "")
+    split = pc.split_pattern(texts, pattern="\n")
+    flat = pc.list_flatten(split)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    n_lines = pc.list_value_length(split).to_numpy().astype(np.int64,
+                                                            copy=False)
+    doc_flat = np.repeat(ids, n_lines)
+    h = stable_hash64(flat.to_pylist()).view(np.int64)
+    return doc_flat, flat, h, n_lines
+
+
+def _join_doc_runs(doc_flat: np.ndarray, lines, id_col: str,
+                   text_col: str) -> pa.Table:
+    """(doc-major flat lines) → one (doc_id, text) row per doc run,
+    lines re-joined with "\n" via ONE Arrow binary_join over a
+    ListArray view — no pandas groupby, no per-doc Python."""
+    if doc_flat.size == 0:
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         text_col: pa.array([], pa.string())})
+    starts = np.flatnonzero(np.r_[True, doc_flat[1:] != doc_flat[:-1]])
+    offsets = np.append(starts, doc_flat.size)
+    la = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), lines)
+    joined = pc.binary_join(la, "\n")
+    return pa.table({id_col: pa.array(doc_flat[starts], pa.int64()),
+                     text_col: joined})
+
+
+_LD_EMPTY = pa.schema([("line_hash", pa.int64())])
+
+
+def banned_line_hashes(docs_ds, max_doc_freq: int = 2,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       num_buckets: int = 32):
+    """line_dedup's count pass, exposed for fused callers: vectorized
+    split → map-side-distinct (line_hash, doc_id) pairs combined to
+    per-batch partial counts (16 B/row on the exchange) → one bucketed
+    reduce emitting the BANNED hash table (doc_freq > ``max_doc_freq``)
+    as a materialized (line_hash int64) Dataset — one row per distinct
+    boilerplate line, tiny relative to the corpus."""
+    from ..ops.exchange import bucketed_map_groups
+    from ..ops.hashagg import append_bucket
+
+    def banned_partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return append_bucket(
+                pa.table({"line_hash": pa.array([], pa.int64()),
+                          "cnt": pa.array([], pa.int64())}),
+                ["line_hash"], num_buckets)
+        doc_flat, _, h, _ = _split_lines(t, id_col, text_col)
+        # per-doc distinct stamped HERE, in the task holding whole
+        # documents (Ray may re-split blocks between operators, so a
+        # downstream per-batch distinct could double-count a line
+        # repeated within one doc), then combined to a per-batch
+        # partial doc count — the exchange moves one row per distinct
+        # line hash per batch, never one per line
+        order = np.lexsort((h, doc_flat))
+        d, hh = doc_flat[order], h[order]
+        first = np.r_[True, (d[1:] != d[:-1]) | (hh[1:] != hh[:-1])]
+        uh, cnt = np.unique(hh[first], return_counts=True)
+        return append_bucket(
+            pa.table({"line_hash": pa.array(uh, pa.int64()),
+                      "cnt": pa.array(cnt, pa.int64())}),
+            ["line_hash"], num_buckets)
+
+    def reduce_banned(g: pa.Table) -> pa.Table:
+        agg = g.group_by(["line_hash"]).aggregate([("cnt", "sum")])
+        kept = agg.filter(pc.greater(agg["cnt_sum"],
+                                     pa.scalar(max_doc_freq, pa.int64())))
+        return kept.select(["line_hash"])
+
+    return bucketed_map_groups(
+        docs_ds.map_batches(banned_partials, batch_format="pyarrow"),
+        num_buckets, reduce_banned).materialize()
+
+
+def collect_banned(banned_ds) -> np.ndarray:
+    """Materialized banned-hash Dataset → sorted int64 array (the
+    broadcast side). Caller has checked the row count against the
+    broadcast budget."""
+    import ray
+
+    tbls = [ray.get(r) for r in banned_ds.to_arrow_refs()]
+    tbl = pa.concat_tables(tbls, promote_options="default") if tbls \
+        else _LD_EMPTY.empty_table()
+    return np.sort(tbl["line_hash"].to_numpy(zero_copy_only=False)) \
+        if tbl.num_rows else np.empty(0, np.int64)
+
+
+def make_line_dedup_rewrite(banned_ref, text_col: str = "text",
+                            id_col: str = "doc_id"):
+    """line_dedup's broadcast-path rewrite kernel as a reusable
+    per-batch function: split → searchsorted-filter against the sorted
+    banned array (``ray.put`` once, worker-cached) → reassemble whole
+    documents map-side. Fused pipelines compose it with other map-side
+    kernels over ONE corpus scan."""
+    def rewrite(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             text_col: pa.array([], pa.string())})
+        ban = _cached_get(banned_ref)
+        doc_flat, flat, h, _ = _split_lines(t, id_col, text_col)
+        if ban.size:
+            pos = np.searchsorted(ban, h)
+            hit = ban[np.minimum(pos, ban.size - 1)] == h
+            if hit.any():
+                keep = ~hit
+                flat = flat.filter(pa.array(keep))
+                doc_flat = doc_flat[keep]
+        return _join_doc_runs(doc_flat, flat, id_col, text_col)
+
+    return rewrite
+
+
 def line_dedup(docs_ds, max_doc_freq: int = 2, text_col: str = "text",
-               id_col: str = "doc_id", num_buckets: int = 32):
+               id_col: str = "doc_id", num_buckets: int = 32,
+               max_broadcast_banned: int = 4_000_000):
     """CCNet-style line-level dedup: drop every line whose exact
     content appears in MORE than ``max_doc_freq`` distinct documents
     (boilerplate headers/footers/navigation), reassembling each
     document's surviving lines in their original order.
 
-    Layout (all engine primitives, no driver materialization):
-      1. explode docs → (doc_id, line_idx, line, line_hash) — one
-         vectorized pandas split/explode per batch;
-      2. per-line-hash distinct-document counts via the two-phase
-         hashagg over map-side distinct (hash, doc) pairs — shuffle
-         volume = distinct pairs, never raw lines;
-      3. one bucketed shuffle join attaches the count to each line row;
-      4. filter + per-doc reassembly (sort by line_idx inside a
-         doc-bucketed exchange).
+    Two-pass layout — document text NEVER rides an exchange on the
+    common path:
+
+      1. count pass (:func:`banned_line_hashes`): one slim exchange →
+         the banned hash table.
+      2. rewrite pass, banned-side-adaptive:
+         * banned rows ≤ ``max_broadcast_banned`` (the overwhelmingly
+           common case — boilerplate vocabulary grows ~log(corpus)):
+           the sorted banned array is ``ray.put`` ONCE and every task
+           splits, searchsorted-filters and reassembles its own whole
+           documents map-side (:func:`make_line_dedup_rewrite`). ZERO
+           exchanges of text.
+         * above the bound: bucketed ANTI join of exploded line rows
+           against the banned table on line_hash, then a doc-bucketed
+           exchange reassembles (lexsort + one Arrow binary_join per
+           bucket). Text moves through exactly two exchanges.
+
     Returns (doc_id, text); a document whose every line is dropped
     disappears from the output (the CCNet behavior — fully-boilerplate
-    documents are removed). Scale note: boilerplate hashes are heavy
-    hitters, but the count table carries ONE row per distinct line
-    hash, and the join fans counts back out map-side per bucket."""
-    import pandas as pd
+    documents are removed). The input Dataset is consumed once per
+    pass: storage-backed inputs stream twice (the scale-correct
+    shape); materialize computed upstreams at the call site."""
+    import ray
 
-    from ..functions.hashing import stable_hash64
     from ..ops.exchange import bucketed_map_groups
-    from ..ops.hashagg import append_bucket, hash_aggregate
+    from ..ops.hashagg import append_bucket
     from ..ops.join import hash_join
 
-    def explode(t: pa.Table) -> pa.Table:
-        df = t.select([id_col, text_col]).to_pandas()
-        df[text_col] = df[text_col].fillna("").str.split("\n")
-        df = df.explode(text_col, ignore_index=True)
-        df["line_idx"] = df.groupby(id_col, sort=False).cumcount()
-        df = df.rename(columns={text_col: "line"})
-        df["line"] = df["line"].fillna("")  # empty doc → one empty line
-        h = stable_hash64(df["line"].tolist()).astype(np.int64)
-        # the per-(doc, line_hash) distinct marker is stamped HERE, in
-        # the same task that holds the whole exploded document — per-doc
-        # locality is contractual, not fusion-dependent (Ray may re-split
-        # blocks between unfused operators, so a downstream per-batch
-        # distinct could double-count repeated lines within one doc)
-        df["line_hash"] = h
-        first = ~df.duplicated([id_col, "line_hash"])
-        return pa.table({
-            id_col: pa.array(df[id_col].to_numpy(np.int64), pa.int64()),
-            "line_idx": pa.array(df["line_idx"].to_numpy(np.int64),
-                                 pa.int64()),
-            "line": pa.array(df["line"].to_numpy(), pa.string()),
-            "line_hash": pa.array(h, pa.int64()),
-            "first_in_doc": pa.array(first.to_numpy(np.bool_), pa.bool_()),
-        })
+    banned_ds = banned_line_hashes(docs_ds, max_doc_freq, text_col,
+                                   id_col, num_buckets)
+    n_banned = banned_ds.count()
 
-    # both consumers below (hash_aggregate and hash_join) execute
-    # EAGERLY at call time, so a shared lazy upstream would re-run the
-    # docs read + explode once per consumer — pin it once
-    lines = docs_ds.map_batches(explode,
-                                batch_format="pyarrow").materialize()
+    if n_banned <= max_broadcast_banned:
+        banned_ref = ray.put(collect_banned(banned_ds))
+        return docs_ds.map_batches(
+            make_line_dedup_rewrite(banned_ref, text_col, id_col),
+            batch_format="pyarrow")
 
-    def local_pairs(t: pa.Table) -> pa.Table:
-        return t.filter(t["first_in_doc"]).select(["line_hash", id_col])
+    # banned table too large to broadcast: distributed anti join on the
+    # line hash, then doc-bucketed reassembly
+    def explode_full(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "line_idx": pa.array([], pa.int64()),
+                             "line": pa.array([], pa.string()),
+                             "line_hash": pa.array([], pa.int64())})
+        doc_flat, flat, h, n_lines = _split_lines(t, id_col, text_col)
+        ends = np.cumsum(n_lines)
+        line_idx = np.arange(doc_flat.size) - np.repeat(ends - n_lines,
+                                                        n_lines)
+        return pa.table({id_col: pa.array(doc_flat, pa.int64()),
+                         "line_idx": pa.array(line_idx, pa.int64()),
+                         "line": flat,
+                         "line_hash": pa.array(h, pa.int64())})
 
-    counts = hash_aggregate(
-        lines.map_batches(local_pairs, batch_format="pyarrow"),
-        "line_hash", [(id_col, "count", "doc_freq")],
-        num_buckets=num_buckets)
-
-    # left_schema omits first_in_doc: hash_join's pad step copies only
-    # the declared layout columns, dropping the marker before the shuffle
-    joined = hash_join(
-        lines, counts, on="line_hash", num_buckets=num_buckets,
+    kept_lines = hash_join(
+        docs_ds.map_batches(explode_full, batch_format="pyarrow"),
+        banned_ds, on="line_hash", how="anti", num_buckets=num_buckets,
         left_schema=pa.schema([(id_col, pa.int64()),
                                ("line_idx", pa.int64()),
                                ("line", pa.string()),
                                ("line_hash", pa.int64())]),
-        right_schema=pa.schema([("line_hash", pa.int64()),
-                                ("doc_freq", pa.int64())]))
+        right_schema=_LD_EMPTY)
 
-    def keep_and_bucket(t: pa.Table) -> pa.Table:
-        kept = t.filter(pc.less_equal(t["doc_freq"],
-                                      pa.scalar(max_doc_freq, pa.int64())))
-        return append_bucket(kept.select([id_col, "line_idx", "line"]),
+    def bucket(t: pa.Table) -> pa.Table:
+        return append_bucket(t.select([id_col, "line_idx", "line"]),
                              [id_col], num_buckets)
 
     def reassemble(g: pa.Table) -> pa.Table:
-        df = g.to_pandas().sort_values([id_col, "line_idx"],
-                                       kind="mergesort")
-        out = df.groupby(id_col, sort=True)["line"].agg("\n".join)
-        return pa.table({id_col: pa.array(out.index.to_numpy(np.int64),
-                                          pa.int64()),
-                         text_col: pa.array(out.to_numpy(), pa.string())})
+        if g.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             text_col: pa.array([], pa.string())})
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        idx = g["line_idx"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((idx, ids))
+        lines = g["line"].combine_chunks().take(
+            pa.array(order, pa.int64()))
+        return _join_doc_runs(ids[order], lines, id_col, text_col)
 
     return bucketed_map_groups(
-        joined.map_batches(keep_and_bucket, batch_format="pyarrow"),
+        kept_lines.map_batches(bucket, batch_format="pyarrow"),
         num_buckets, reassemble)
 
 

@@ -254,11 +254,14 @@ def test_simhash_neardup_matches_bruteforce(ray_session):
         dedup.simhash_neardup_pairs(ds, max_hamming=4)
 
 
-def test_line_dedup_ccnet_semantics(ray_session):
+@pytest.mark.parametrize("max_broadcast_banned", [4_000_000, 0])
+def test_line_dedup_ccnet_semantics(ray_session, max_broadcast_banned):
     """Lines appearing in more than max_doc_freq distinct documents are
     dropped; surviving lines keep their original order; a document with
     only boilerplate lines disappears; repeats WITHIN one doc don't
-    count toward the doc frequency."""
+    count toward the doc frequency. Parametrized over both rewrite
+    paths: broadcast banned-set (budget 4M) and the distributed
+    anti-join fallback (budget 0)."""
     import ray
 
     boiler = "subscribe to our newsletter"
@@ -273,8 +276,9 @@ def test_line_dedup_ccnet_semantics(ray_session):
     t = pa.table({"doc_id": pa.array(list(docs), pa.int64()),
                   "text": pa.array(list(docs.values()), pa.string())})
     out = dedup.line_dedup(ray.data.from_arrow(t).repartition(3),
-                           max_doc_freq=2).to_pandas() \
-        .set_index("doc_id")["text"].to_dict()
+                           max_doc_freq=2,
+                           max_broadcast_banned=max_broadcast_banned) \
+        .to_pandas().set_index("doc_id")["text"].to_dict()
 
     # reference implementation
     from collections import Counter
