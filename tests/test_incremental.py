@@ -170,3 +170,118 @@ def test_incremental_requires_checkpointed_prev(ray_session, snapshots,
         run_incremental(str(tmp_path / "nowhere"), f"{a_dir}/pages",
                         f"{a_dir}/dictionary.parquet",
                         str(tmp_path / "out"))
+
+
+def test_rolling_crawl_dedup_then_incremental(ray_session, tmp_path):
+    """The rolling-crawl composition a production user runs: each new
+    dump is first deduped against the running cross-snapshot content
+    registry (snapshot_hashes / dedup_against_snapshot, chained by
+    union), the surviving novel pages are appended to the corpus, and
+    run_incremental applies the grown corpus reusing all committed
+    model stages. The final KG must equal a fresh full build over the
+    deduped union — including mirrors of an EARLIER dump's novel
+    content (registry chaining), which must never reach the graph."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    from gfftoneo4j_ray.gen.pages import (PAGES_SCHEMA, gen_pages,
+                                          write_corpus)
+    from gfftoneo4j_ray.pipelines import kg
+    from gfftoneo4j_ray.pipelines.incremental import run_incremental
+    from gfftoneo4j_ray.stages import dedup
+
+    def mirror(src_tbl, rows, tag):
+        """Re-publish src rows' content under new urls (exact dups)."""
+        df = src_tbl.to_pandas().iloc[list(rows)].copy()
+        df["url"] = [f"https://mirror.example/{tag}/{k}"
+                     for k in range(len(df))]
+        return pa.Table.from_pandas(df, schema=PAGES_SCHEMA,
+                                    preserve_index=False)
+
+    def rechurn(src_tbl, url_row, content_row_tbl):
+        """Re-crawl where one url carries NOVEL content (donor page):
+        returns src with that row's html/text REPLACED — one capture
+        per url per dump, the crawl-dump shape dedup_against_snapshot
+        assumes."""
+        df = src_tbl.to_pandas().copy()
+        donor = content_row_tbl.to_pandas().iloc[0]
+        df.loc[url_row, "html"] = donor["html"]
+        df.loc[url_row, "text"] = donor["text"]
+        return pa.Table.from_pandas(df, schema=PAGES_SCHEMA,
+                                    preserve_index=False)
+
+    def write_pages(tbl, name):
+        d = tmp_path / name / "pages"
+        d.mkdir(parents=True)
+        pq.write_table(tbl, str(d / "part-0.parquet"))
+        return str(d)
+
+    def ingest(dump_tbl, registry_ds, name):
+        """dedup-across-dumps: dump → kept novel pages (+ registry)."""
+        dump_path = write_pages(dump_tbl, f"dump_{name}")
+        ds = ray.data.read_parquet(dump_path)
+        kept = dedup.dedup_against_snapshot(ds, registry_ds,
+                                            text_col="text",
+                                            id_col="url")
+        kept_dir = tmp_path / f"kept_{name}"
+        kept.write_parquet(str(kept_dir))
+        kept_tbl = pq.read_table(str(kept_dir)) \
+            .select(PAGES_SCHEMA.names).cast(PAGES_SCHEMA)
+        new_reg = registry_ds.union(
+            dedup.snapshot_hashes(
+                ray.data.read_parquet(str(kept_dir)), text_col="text",
+                id_col="url"))
+        return kept_tbl, new_reg
+
+    # ---- dump 1 = corpus 1 (bootstrap) ------------------------------
+    c1_dir = write_corpus(str(tmp_path / "c1"), n=120, shard_rows=60)
+    dict_path = f"{c1_dir}/dictionary.parquet"
+    p1 = pq.read_table(f"{c1_dir}/pages")
+    reg1 = dedup.snapshot_hashes(
+        ray.data.read_parquet(f"{c1_dir}/pages"), text_col="text",
+        id_col="url")
+    out1 = kg.run(f"{c1_dir}/pages", dict_path, str(tmp_path / "out1"),
+                  checkpointed=True)
+
+    donors, _ = gen_pages(4, start=900)  # novel content for churn
+    # ---- dump 2: full re-crawl + 12 new + 1 churned + 3 mirrors -----
+    p2_new, _ = gen_pages(12, start=120)
+    dump2 = pa.concat_tables([
+        rechurn(p1, 3, donors.slice(0, 1)),   # re-crawl; url_3 churned
+        p2_new,                               # novel urls
+        mirror(p1, [10, 11, 12], "d2"),       # dump-1 content, new urls
+    ])
+    kept2, reg2 = ingest(dump2, reg1, "2")
+    # the 120 re-crawls and 3 mirrors are dropped; 12+1 novel survive
+    assert kept2.num_rows == 13, kept2.num_rows
+    corpus2 = pa.concat_tables([p1, kept2])
+    c2_pages = write_pages(corpus2, "c2")
+    inc2 = run_incremental(str(tmp_path / "out1"), c2_pages, dict_path,
+                           str(tmp_path / "out2"))
+    assert inc2["n_reused"] >= 119 and inc2["n_changed"] <= 15, inc2
+
+    # ---- dump 3: re-crawl ∪ mirrors of DUMP-2 novel content ---------
+    p3_new, _ = gen_pages(6, start=140)
+    dump3 = pa.concat_tables([
+        rechurn(corpus2, 5, donors.slice(1, 1)),  # re-crawl; url_5 churned
+        p3_new,                               # novel urls
+        mirror(p2_new, [0, 1], "d3"),         # DUMP-2 content: registry
+        mirror(p1, [20], "d3b"),              # chaining must drop both
+    ])
+    kept3, _ = ingest(dump3, reg2, "3")
+    assert kept3.num_rows == 7, kept3.num_rows  # 6 new + 1 churn
+    corpus3 = pa.concat_tables([corpus2, kept3])
+    c3_pages = write_pages(corpus3, "c3")
+    inc3 = run_incremental(str(tmp_path / "out2"), c3_pages, dict_path,
+                           str(tmp_path / "out3"))
+
+    # ---- invariants --------------------------------------------------
+    assert not any(u.startswith("https://mirror.example/")
+                   for u in corpus3["url"].to_pylist())
+    fresh = kg.run(c3_pages, dict_path, str(tmp_path / "out_fresh"),
+                   checkpointed=True)
+    fn, fe = _graph_frames(fresh)
+    inn, ine = _graph_frames(inc3)
+    pd.testing.assert_frame_equal(fn, inn)
+    pd.testing.assert_frame_equal(fe, ine)
