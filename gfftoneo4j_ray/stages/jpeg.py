@@ -1,19 +1,26 @@
-"""Baseline JPEG (ITU-T T.81, SOF0 sequential DCT) decode — pure
-numpy + stdlib, no codec library.
+"""JPEG (ITU-T T.81) decode — baseline sequential (SOF0) AND
+progressive (SOF2) — pure numpy + stdlib, no codec library.
 
 Completes the native-decode matrix for the dominant web image format:
-marker parse → Huffman entropy decode → dequantize → dezigzag →
-vectorized 8×8 IDCT over all blocks at once (one einsum) → chroma
-upsample → YCbCr→RGB. The entropy decode is inherently bit-serial
-(each Huffman code's length depends on the previous symbol), so that
-single loop is Python — the sandbox-native correctness path, sized
-for test payloads; a production cluster swaps :func:`decode_jpeg`
-for a codec library behind the same ``decode_image`` dispatch.
+marker parse → per-scan Huffman entropy decode into accumulated raw
+coefficient arrays → dequantize → dezigzag → vectorized 8×8 IDCT over
+all blocks at once (one einsum) → chroma upsample → YCbCr→RGB.
+Progressive scans implement the full Annex G successive-approximation
+semantics: interleaved / non-interleaved DC first + refinement scans,
+per-component AC spectral-selection bands with EOB-run coding, and AC
+refinement with correction bits. The entropy decode is inherently
+bit-serial (each Huffman code's length depends on the previous
+symbol), so that single loop is Python — the sandbox-native
+correctness path, sized for test payloads; a production cluster swaps
+:func:`decode_jpeg` for a codec library behind the same
+``decode_image`` dispatch.
 
-Supported: 8-bit baseline (SOF0), 1 or 3 components, any sampling
-factors (4:4:4 / 4:2:2 / 4:2:0 / …), restart intervals (DRI/RSTn),
-multi-DHT/DQT segments. Progressive (SOF2) and arithmetic coding
-raise ValueError → the callers' deterministic fallback path.
+Supported: 8-bit baseline (SOF0) and progressive (SOF2), 1 or 3
+components, any sampling factors (4:4:4 / 4:2:2 / 4:2:0 / …), restart
+intervals (DRI/RSTn, resetting DC predictors and EOB runs per
+segment), multi-DHT/DQT segments, tables redefined between scans.
+Arithmetic coding and 12-bit precision raise ValueError → the
+callers' deterministic fallback path.
 """
 
 from __future__ import annotations
@@ -87,7 +94,8 @@ def _extend(v: int, n: int) -> int:
 
 def _split_scan(scan: bytes):
     """Unstuff 0xFF00 and split the entropy stream at RST markers;
-    returns (segments, bytes_consumed_including_terminator)."""
+    returns (segments, bytes_consumed — index of the terminating
+    marker's 0xFF, so the caller resumes its marker loop there)."""
     segs, cur, i, n = [], bytearray(), 0, len(scan)
     while i < n:
         b = scan[i]
@@ -117,16 +125,23 @@ def decode_jpeg(p: bytes) -> np.ndarray:
     huff_dc: dict = {}
     huff_ac: dict = {}
     frame = None
+    comps: list = []
+    progressive = False
+    got_scan = False
     dri = 0
     i = 2
     n = len(p)
-    while i + 4 <= n:
+    while i + 2 <= n:
         if p[i] != 0xFF:
             raise ValueError(f"expected JPEG marker at offset {i}")
         marker = p[i + 1]
-        if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
             i += 2
             continue
+        if i + 4 > n:
+            raise ValueError("truncated JPEG segment header")
         ln = struct.unpack_from(">H", p, i + 2)[0]
         seg = p[i + 4:i + 2 + ln]
         i += 2 + ln
@@ -151,7 +166,8 @@ def decode_jpeg(p: bytes) -> np.ndarray:
                 (huff_dc if tc == 0 else huff_ac)[th] = \
                     build_huffman(bits, vals)
                 j += 17 + cnt
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise ValueError("only 8-bit JPEG supported")
@@ -160,83 +176,218 @@ def decode_jpeg(p: bytes) -> np.ndarray:
                 cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * c)
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15,
                               "tq": tq})
-            frame = (h, w, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            frame = (h, w)
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            for c in comps:
+                c["bw"] = mcux * c["h"]  # MCU-padded block grid
+                c["bh"] = mcuy * c["v"]
+                # non-interleaved scans cover only the true block grid
+                c["nbx"] = -(-(-(-w * c["h"] // hmax)) // 8)
+                c["nby"] = -(-(-(-h * c["v"] // vmax)) // 8)
+                c["coef"] = np.zeros((c["bh"] * c["bw"], 64), np.int32)
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
-                f"only baseline (SOF0) JPEG supported (SOF{marker & 15})")
+                f"unsupported JPEG frame type SOF{marker & 15} (only "
+                "baseline SOF0 and progressive SOF2)")
         elif marker == 0xDD:  # DRI
             dri = struct.unpack_from(">H", seg, 0)[0]
         elif marker == 0xDA:  # SOS — entropy data follows
             if frame is None:
-                raise ValueError("JPEG SOS before SOF0")
+                raise ValueError("JPEG SOS before SOF")
             ns = seg[0]
-            sel = {}
+            scan_comps = []
+            by_id = {c["id"]: c for c in comps}
             for c in range(ns):
                 cs, tdta = struct.unpack_from(">BB", seg, 1 + 2 * c)
-                sel[cs] = (tdta >> 4, tdta & 15)
-            return _decode_scan(p[i:], frame, sel, qt,
-                                huff_dc, huff_ac, dri)
+                if cs not in by_id:
+                    raise ValueError(f"JPEG scan names unknown component "
+                                     f"{cs}")
+                comp = by_id[cs]
+                comp["dc"], comp["ac"] = tdta >> 4, tdta & 15
+                scan_comps.append(comp)
+            ss, se, a = seg[1 + 2 * ns:4 + 2 * ns]
+            ah, al = a >> 4, a & 15
+            if not progressive:
+                ss, se, ah, al = 0, 63, 0, 0
+            consumed = _decode_scan(
+                p[i:], frame, comps, scan_comps, huff_dc, huff_ac,
+                dri, ss, se, ah, al)
+            got_scan = True
+            i += consumed
+            if not progressive:
+                break  # baseline: single scan
         # APPn / COM / others: skipped
-    raise ValueError("JPEG has no SOS scan")
+    if frame is None or not got_scan:
+        raise ValueError("JPEG has no SOS scan")
+    return _finish(frame, comps, qt)
 
 
-def _decode_scan(scan, frame, sel, qt, huff_dc, huff_ac, dri):
-    h, w, comps = frame
+def _decode_scan(scan, frame, comps, scan_comps, huff_dc, huff_ac,
+                 dri, ss, se, ah, al):
+    """Entropy-decode one scan into the components' raw coefficient
+    arrays (zigzag order, scaled by 1<<Al as transmitted). Returns
+    bytes consumed. Baseline is the ss=0,se=63,ah=al=0 interleaved
+    case of the same machinery."""
+    h, w = frame
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-    for c in comps:
-        c["bw"] = mcux * c["h"]  # blocks per row incl. MCU padding
-        c["bh"] = mcuy * c["v"]
-        c["coef"] = np.zeros((c["bh"] * c["bw"], 64), np.int32)
-        c["dc"], c["ac"] = sel[c["id"]]
-    segs, _ = _split_scan(scan)
-    n_mcu = mcux * mcuy
-    per_seg = dri if dri else n_mcu
-    mcu = 0
-    for seg in segs:
-        if mcu >= n_mcu:
-            break
-        r = _BitReader(seg)
-        pred = {c["id"]: 0 for c in comps}
-        for _ in range(min(per_seg, n_mcu - mcu)):
-            my, mx = divmod(mcu, mcux)
-            for c in comps:
-                dlut, alut = huff_dc[c["dc"]], huff_ac[c["ac"]]
-                q = qt[c["tq"]]
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        blk = np.zeros(64, np.int32)
-                        t = r.huff(dlut)
-                        pred[c["id"]] += _extend(r.read(t), t)
-                        blk[0] = pred[c["id"]]
-                        k = 1
-                        while k < 64:
-                            rs = r.huff(alut)
-                            rr, s = rs >> 4, rs & 15
-                            if s == 0:
-                                if rr == 15:  # ZRL: 16 zeros
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += rr
-                            if k > 63:
-                                raise ValueError("JPEG AC index overflow")
-                            blk[k] = _extend(r.read(s), s)
-                            k += 1
-                        row = my * c["v"] + by
-                        col = mx * c["h"] + bx
-                        c["coef"][row * c["bw"] + col] = blk * q
-            mcu += 1
-    if mcu != n_mcu:
-        raise ValueError("JPEG scan ended early")
+    segs, consumed = _split_scan(scan)
+    interleaved = len(scan_comps) > 1
+    if ss > 0 and interleaved:
+        raise ValueError("JPEG progressive AC scan must be "
+                         "single-component")
 
+    if interleaved:
+        # MCU order over the padded grid (DC scans / full baseline)
+        mcux = -(-w // (8 * hmax))
+        mcuy = -(-h // (8 * vmax))
+        n_units = mcux * mcuy
+    else:
+        c0 = scan_comps[0]
+        # single-component scan: block raster over the TRUE grid
+        n_units = c0["nbx"] * c0["nby"]
+    per_seg = dri if dri else n_units
+    unit = 0
+    for seg_bytes in segs:
+        if unit >= n_units:
+            break
+        r = _BitReader(seg_bytes)
+        pred = {c["id"]: 0 for c in scan_comps}
+        eob = [0]  # EOB run survives across blocks within a segment
+        for _ in range(min(per_seg, n_units - unit)):
+            if interleaved:
+                my, mx = divmod(unit, mcux)
+                for c in scan_comps:
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            row = my * c["v"] + by
+                            col = mx * c["h"] + bx
+                            blk = c["coef"][row * c["bw"] + col]
+                            _decode_block(r, c, blk, pred, eob,
+                                          huff_dc, huff_ac,
+                                          ss, se, ah, al)
+            else:
+                c = scan_comps[0]
+                row, col = divmod(unit, c["nbx"])
+                blk = c["coef"][row * c["bw"] + col]
+                _decode_block(r, c, blk, pred, eob, huff_dc, huff_ac,
+                              ss, se, ah, al)
+            unit += 1
+    if unit != n_units:
+        raise ValueError("JPEG scan ended early")
+    return consumed
+
+
+def _decode_block(r, c, blk, pred, eob, huff_dc, huff_ac,
+                  ss, se, ah, al):
+    """Decode one block's contribution for the current scan (T.81
+    F.2.2 baseline / G.2 progressive)."""
+    if ss == 0:  # DC (and, for baseline, the full block)
+        if ah == 0:  # first scan: Huffman-coded diff, scaled by Al
+            t = r.huff(huff_dc[c["dc"]])
+            pred[c["id"]] += _extend(r.read(t), t)
+            blk[0] = pred[c["id"]] << al
+        else:  # refinement: one raw bit per block
+            if r.read(1):
+                blk[0] |= 1 << al
+        if se == 0:
+            return
+    # AC coefficients
+    if ah == 0:
+        _decode_ac_first(r, huff_ac[c["ac"]], blk, max(ss, 1), se, al,
+                         eob)
+    else:
+        _decode_ac_refine(r, huff_ac[c["ac"]], blk, ss, se, al, eob)
+
+
+def _decode_ac_first(r, alut, blk, ss, se, al, eob):
+    """AC first scan (Ah=0): baseline run-length/size coding plus
+    EOBn run codes spanning blocks (T.81 G.2.2)."""
+    if eob[0] > 0:
+        eob[0] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = r.huff(alut)
+        rr, s = rs >> 4, rs & 15
+        if s == 0:
+            if rr != 15:  # EOBn: run of (1<<rr)+bits all-zero bands
+                eob[0] = (1 << rr) - 1
+                if rr:
+                    eob[0] += r.read(rr)
+                return
+            k += 16  # ZRL
+            continue
+        k += rr
+        if k > se:
+            raise ValueError("JPEG AC index overflow")
+        blk[k] = _extend(r.read(s), s) << al
+        k += 1
+
+
+def _decode_ac_refine(r, alut, blk, ss, se, al, eob):
+    """AC refinement scan (Ah=Al+1): correction bits for
+    already-nonzero coefficients, run-coded newly-significant ±1<<Al
+    insertions, EOB runs carrying correction bits (T.81 G.2.3)."""
+    p1 = 1 << al
+    m1 = -1 << al
+    k = ss
+    if eob[0] == 0:
+        while k <= se:
+            rs = r.huff(alut)
+            rr, s = rs >> 4, rs & 15
+            val = 0
+            if s:
+                if s != 1:
+                    raise ValueError("invalid JPEG AC refinement symbol")
+                val = p1 if r.read(1) else m1
+            else:
+                if rr != 15:
+                    eob[0] = 1 << rr
+                    if rr:
+                        eob[0] += r.read(rr)
+                    break  # fall through to the EOB-run tail below
+                # rr == 15 (ZRL): skip 16 zero-history positions
+            while k <= se:
+                if blk[k] != 0:
+                    if r.read(1) and (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] >= 0 else m1
+                else:
+                    if rr == 0:
+                        break
+                    rr -= 1
+                k += 1
+            if val and k <= se:
+                blk[k] = val
+            k += 1
+    if eob[0] > 0:
+        # EOB run covers this block: only correction bits remain
+        while k <= se:
+            if blk[k] != 0:
+                if r.read(1) and (blk[k] & p1) == 0:
+                    blk[k] += p1 if blk[k] >= 0 else m1
+            k += 1
+        eob[0] -= 1
+
+
+def _finish(frame, comps, qt):
+    """Accumulated raw coefficients → dequantize → IDCT → upsample →
+    color-convert."""
+    h, w = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
     planes = []
     for c in comps:
+        if c["tq"] not in qt:
+            raise ValueError(f"JPEG references undefined quant table "
+                             f"{c['tq']}")
+        q = qt[c["tq"]]
         dez = np.zeros_like(c["coef"])
-        dez[:, _ZZ] = c["coef"]  # dezigzag
+        dez[:, _ZZ] = c["coef"] * q[None, :]  # dequantize + dezigzag
         blocks = dez.reshape(-1, 8, 8).astype(np.float64)
         pix = np.einsum("ij,bjk,kl->bil", _C.T, blocks, _C) + 128.0
         pix = np.clip(np.round(pix), 0, 255).astype(np.uint8)

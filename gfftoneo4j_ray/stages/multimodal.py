@@ -5,9 +5,9 @@ decode / feature-extract / resize / frame-sample are actor-pool
 ``map_batches`` stages. Decode is REAL — no codec library needed —
 for PPM/PGM (netpbm P6/P5), 24-bit uncompressed BMP, 8-bit PNG
 (sequential or Adam7; stdlib zlib inflate + numpy unfilter), and
-baseline JPEG (:mod:`.jpeg`) — see :func:`decode_image`; the
-remaining formats (progressive JPEG/WebP/…) stay gated behind an
-import-try with an honest ``NotImplementedError``.
+baseline + progressive JPEG (:mod:`.jpeg`) — see
+:func:`decode_image`; the remaining formats (WebP/GIF/MP3/…) stay
+gated behind an import-try with an honest ``NotImplementedError``.
 :class:`PayloadFeaturizer` uses a
 deterministic content-hash fake feature in place of a model forward
 pass so the Ray-side plumbing — schema, batch sizing, actor
@@ -244,8 +244,8 @@ def decode_image(payload: bytes) -> np.ndarray:
     P6 (PPM color) / P5 (PGM grayscale) with maxval ≤ 255, 24-bit
     uncompressed bottom-up/top-down BMP, 8-bit sequential or
     Adam7-interlaced PNG (gray/RGB/palette/gray+alpha/RGBA — see
-    :func:`_decode_png`), and baseline or progressive JPEG
-    (:mod:`stages.jpeg`; arithmetic-coded JPEG falls back).
+    :func:`_decode_png`), and baseline (SOF0) or progressive (SOF2)
+    JPEG (:mod:`stages.jpeg`; arithmetic-coded JPEG falls back).
     Formats needing an external codec (WebP/GIF/…, absent in this
     container) raise ``NotImplementedError`` unless one is
     importable."""
@@ -285,7 +285,8 @@ def decode_image(payload: bytes) -> np.ndarray:
     if dec is None:
         raise NotImplementedError(
             "compressed-image decode requires PIL/opencv (not in this "
-            "container); PPM/PGM/24-bit-BMP/8-bit-PNG decode natively, "
+            "container); PPM/PGM/24-bit-BMP/8-bit-PNG/JPEG decode "
+            "natively, "
             "and "
             "PayloadFeaturizer's deterministic fake features cover the "
             "rest of the plumbing")
