@@ -437,6 +437,7 @@ def run(pages_path: str, dict_path: str, out_root: str, *,
             batch_size=cfg.triples_batch_size,
             extractor_cls=cfg.extractor_cls)
         block_refs, block_rows, pair_refs = [], [], []
+        comp_refs: list = []  # second-level pair compressions
         group: list = []
         for bundle in linked.iter_internal_ref_bundles():
             for blk, bmeta in bundle.blocks:
@@ -452,11 +453,19 @@ def run(pages_path: str, dict_path: str, out_root: str, *,
                     pair_refs.append(
                         canonicalize.launch_pair_partials(group))
                     group = []
+                    if len(pair_refs) >= 8:
+                        # compress DURING the stream: after it drains,
+                        # only a tiny driver union-find merge remains
+                        comp_refs.append(
+                            canonicalize.launch_pair_compress(pair_refs))
+                        pair_refs = []
         if group:
             pair_refs.append(canonicalize.launch_pair_partials(group))
+        if pair_refs:
+            comp_refs.append(canonicalize.launch_pair_compress(pair_refs))
         mark("link stream")
 
-        mapping = canonicalize.mapping_from_pair_refs(pair_refs)
+        mapping = canonicalize.mapping_from_compressed(comp_refs)
         map_ref = ray.put(mapping)
         known_ids = {nid for _, nid in mapping.values()}
         mark("mapping")

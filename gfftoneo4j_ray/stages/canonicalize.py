@@ -120,6 +120,46 @@ def mapping_from_pair_refs(pair_refs: list, num_partitions: int = 64) -> dict:
                                  num_partitions)
 
 
+_COMPRESS_TASK = None
+
+
+def launch_pair_compress(pair_refs: list):
+    """Second-level map-side reduction, launched DURING the link
+    stream over groups of already-emitted pair-partial refs: dedup +
+    local union-find → compressed (member, root) edges, each table
+    bounded by the alias universe. After the stream only
+    :func:`mapping_from_compressed`'s driver merge of these tiny edge
+    tables remains — the pair exchange's Dataset + bucket machinery
+    (O(blocks × buckets) slice objects) never sits on the post-stream
+    critical path."""
+    global _COMPRESS_TASK
+    import ray
+
+    if _COMPRESS_TASK is None:
+        @ray.remote
+        def pair_compress(*tabs):
+            t = pa.concat_tables(tabs, promote_options="default")
+            return _local_unionfind(_distinct_pairs(t))
+
+        _COMPRESS_TASK = pair_compress
+    return _COMPRESS_TASK.remote(*pair_refs)
+
+
+def mapping_from_compressed(comp_refs: list) -> dict:
+    """Phase 3 over compressed (member, root) edge tables
+    (:func:`launch_pair_compress`): driver union-find merge — the
+    same mapping as the bucketed exchange path, since union-find
+    group membership is merge-order-independent."""
+    import ray
+
+    uf = UnionFind()
+    for b in ray.get(comp_refs):
+        for m, r in zip(b.column("member").to_pylist(),
+                        b.column("root").to_pylist()):
+            uf.union(m, r)
+    return _mapping_from_uf(uf)
+
+
 def mapping_from_pairs_ds(pairs, num_partitions: int = 64) -> dict:
     """Phases 2-3: bucketed pair exchange + per-bucket union-find +
     driver merge, over an already-emitted (surface, entity_key) pair
@@ -163,6 +203,13 @@ def mapping_from_pairs_ds(pairs, num_partitions: int = 64) -> dict:
         for m, r in zip(b.column("member").to_pylist(),
                         b.column("root").to_pylist()):
             uf.union(m, r)
+    return _mapping_from_uf(uf)
+
+
+def _mapping_from_uf(uf) -> dict:
+    """Merged union-find groups → {surface: (canonical_key, node_id)}
+    with the deterministic canon pick (lexical-min entity key, else
+    lexical-min surface)."""
     mapping: dict[str, tuple[str, str]] = {}
     for root, members in uf.groups().items():
         ekeys = sorted(x[2:] for x in members if x.startswith(_E))
