@@ -5,8 +5,9 @@ decode / feature-extract / resize / frame-sample are actor-pool
 ``map_batches`` stages. Decode is REAL — no codec library needed —
 for PPM/PGM (netpbm P6/P5), 24-bit uncompressed BMP, 8-bit PNG
 (sequential or Adam7; stdlib zlib inflate + numpy unfilter), and
-baseline + progressive JPEG (:mod:`.jpeg`) — see
-:func:`decode_image`; the remaining formats (WebP/GIF/MP3/…) stay
+baseline + progressive JPEG (:mod:`.jpeg`), and GIF87a/89a first
+frames (stdlib-loop LZW) — see
+:func:`decode_image`; the remaining formats (WebP/MP3/…) stay
 gated behind an import-try with an honest ``NotImplementedError``.
 :class:`PayloadFeaturizer` uses a
 deterministic content-hash fake feature in place of a model forward
@@ -65,6 +66,8 @@ def sniff_format(payload: bytes) -> str | None:
         return "png"
     if p[:3] == b"\xff\xd8\xff":
         return "jpeg"
+    if p[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     return None
 
 
@@ -236,6 +239,165 @@ def _decode_png(p: bytes) -> np.ndarray:
     return np.ascontiguousarray(img[..., :3])  # RGB / RGBA → RGB
 
 
+# GIF interlace passes: (row0, step) per pass (GIF89a spec appendix E)
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _gif_lzw(data: bytes, min_code: int, npix: int) -> bytes:
+    """GIF-variant LZW decode → exactly ``npix`` index bytes.
+
+    Variable-width codes (LSB-first bit packing), table reset on the
+    clear code, deferred-clear tolerated (table pegged at 4096 entries,
+    width at 12 bits). Inherently sequential — a per-code Python loop,
+    like the Paeth fallback in :func:`_png_unfilter`: the sandbox-native
+    exact path; a production cluster swaps the decode stage for a codec
+    library with the same actor-pool plumbing."""
+    clear = 1 << min_code
+    end = clear + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    width = min_code + 1
+    out: list[bytes] = []
+    n_out = 0
+    prev: bytes | None = None
+    bitbuf = 0
+    nbits = 0
+    pos = 0
+    while n_out < npix:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("truncated GIF LZW stream")
+            bitbuf |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = bitbuf & ((1 << width) - 1)
+        bitbuf >>= width
+        nbits -= width
+        if code == clear:
+            table = list(base)
+            width = min_code + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("bad first GIF LZW code")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            if len(table) < 4096:
+                table.append(prev + entry[:1])
+        elif code == len(table) and len(table) < 4096:
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("GIF LZW code out of range")
+        # the encoder widens after assigning code (1<<width); its table
+        # runs one entry ahead of ours, so we widen when ours fills
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+        out.append(entry)
+        n_out += len(entry)
+        prev = entry
+    if n_out < npix:
+        raise ValueError("GIF pixel data underrun")
+    return b"".join(out)[:npix]
+
+
+def _decode_gif(p: bytes) -> np.ndarray:
+    """REAL pure-numpy+stdlib GIF decode (GIF87a/89a): first frame,
+    LZW-decompressed (:func:`_gif_lzw`), de-interlaced when flagged,
+    mapped through the local-or-global color table and composited onto
+    a logical-screen canvas filled with the background color (GCE
+    transparent pixels show that background). Later frames of an
+    animation are ignored — feature extraction reads one frame, the
+    same contract as :class:`FrameSampler`'s fake path."""
+    if len(p) < 13:
+        raise ValueError("truncated GIF header")
+    w, h, packed, bg = struct.unpack_from("<HHBB", p, 6)
+    if not w or not h or w * h > (64 << 20):
+        raise ValueError(f"bad GIF dimensions {w}x{h}")
+    i = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(p, np.uint8, count=n * 3,
+                            offset=i).reshape(n, 3)
+        i += n * 3
+    transparent = -1
+    while i < len(p):
+        block = p[i]
+        i += 1
+        if block == 0x3B:  # trailer before any image
+            break
+        if block == 0x21:  # extension: label, then sub-blocks
+            if i >= len(p):
+                raise ValueError("truncated GIF extension")
+            label = p[i]
+            i += 1
+            while i < len(p) and p[i]:
+                if label == 0xF9 and p[i] >= 4 and p[i + 1] & 0x01:
+                    transparent = p[i + 4]  # GCE transparency index
+                i += 1 + p[i]
+            i += 1  # block terminator
+            continue
+        if block != 0x2C:
+            raise ValueError(f"bad GIF block 0x{block:02x}")
+        # image descriptor
+        if i + 9 > len(p):
+            raise ValueError("truncated GIF image descriptor")
+        left, top, fw, fh, fpacked = struct.unpack_from("<HHHHB", p, i)
+        i += 9
+        if not fw or not fh or left + fw > w or top + fh > h:
+            raise ValueError("GIF frame outside logical screen")
+        ct = gct
+        if fpacked & 0x80:
+            n = 2 << (fpacked & 0x07)
+            ct = np.frombuffer(p, np.uint8, count=n * 3,
+                               offset=i).reshape(n, 3)
+            i += n * 3
+        if ct is None:
+            raise ValueError("GIF image with no color table")
+        if i >= len(p):
+            raise ValueError("truncated GIF image data")
+        min_code = p[i]
+        i += 1
+        if not 2 <= min_code <= 8:
+            raise ValueError(f"bad GIF LZW min code size {min_code}")
+        subs = []
+        while i < len(p) and p[i]:
+            ln = p[i]
+            subs.append(p[i + 1:i + 1 + ln])
+            if len(subs[-1]) < ln:
+                raise ValueError("truncated GIF data sub-block")
+            i += 1 + ln
+        idx = np.frombuffer(_gif_lzw(b"".join(subs), min_code, fw * fh),
+                            np.uint8)
+        if int(idx.max()) >= len(ct):
+            raise ValueError("GIF color index out of range")
+        frame = idx.reshape(fh, fw)
+        if fpacked & 0x40:  # interlaced: rows stored in 4 passes
+            deint = np.empty_like(frame)
+            r = 0
+            for row0, step in _GIF_INTERLACE:
+                n = len(range(row0, fh, step))
+                deint[row0::step] = frame[r:r + n]
+                r += n
+            frame = deint
+        bg_rgb = ct[bg] if (gct is not None and bg < len(gct)) else \
+            np.zeros(3, np.uint8)
+        canvas = np.broadcast_to(bg_rgb, (h, w, 3)).copy()
+        rgb = ct[frame]
+        if transparent >= 0:
+            mask = frame == transparent
+            rgb = np.where(mask[..., None], canvas[top:top + fh,
+                                                   left:left + fw], rgb)
+        canvas[top:top + fh, left:left + fw] = rgb
+        return canvas
+    raise ValueError("GIF contains no image")
+
+
 def decode_image(payload: bytes) -> np.ndarray:
     """Decode an image payload to a numpy array — (h, w, 3) uint8 for
     color, (h, w) uint8 for grayscale.
@@ -244,15 +406,18 @@ def decode_image(payload: bytes) -> np.ndarray:
     P6 (PPM color) / P5 (PGM grayscale) with maxval ≤ 255, 24-bit
     uncompressed bottom-up/top-down BMP, 8-bit sequential or
     Adam7-interlaced PNG (gray/RGB/palette/gray+alpha/RGBA — see
-    :func:`_decode_png`), and baseline (SOF0) or progressive (SOF2)
-    JPEG (:mod:`stages.jpeg`; arithmetic-coded JPEG falls back).
-    Formats needing an external codec (WebP/GIF/…, absent in this
+    :func:`_decode_png`), baseline (SOF0) or progressive (SOF2)
+    JPEG (:mod:`stages.jpeg`; arithmetic-coded JPEG falls back), and
+    GIF87a/89a first frame (:func:`_decode_gif`).
+    Formats needing an external codec (WebP/…, absent in this
     container) raise ``NotImplementedError`` unless one is
     importable."""
     p = payload or b""
     fmt = sniff_format(p)
     if fmt == "png":
         return _decode_png(p)
+    if fmt == "gif":
+        return _decode_gif(p)
     if fmt == "jpeg":
         from .jpeg import decode_jpeg
 
@@ -285,7 +450,7 @@ def decode_image(payload: bytes) -> np.ndarray:
     if dec is None:
         raise NotImplementedError(
             "compressed-image decode requires PIL/opencv (not in this "
-            "container); PPM/PGM/24-bit-BMP/8-bit-PNG/JPEG decode "
+            "container); PPM/PGM/24-bit-BMP/8-bit-PNG/JPEG/GIF decode "
             "natively, "
             "and "
             "PayloadFeaturizer's deterministic fake features cover the "

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import struct
+
 import numpy as np
 import pyarrow as pa
 import pytest
@@ -417,3 +419,165 @@ def test_decode_png_rejects_and_falls_back(rgb_img):
     assert out.num_rows == 3
     want = multimodal.resize_nn(multimodal.to_gray(rgb_img), 2, 2)
     assert out["pixels"].to_pylist()[2] == want.reshape(-1).tolist()
+
+
+# ---------------------------------------------------------------------------
+# native GIF decode (stdlib LZW + numpy)
+# ---------------------------------------------------------------------------
+
+def _gif_lzw_encode(indices, min_code):
+    """Independent forward GIF-LZW compressor for the decode tests:
+    emits variable-width LSB-first codes with the spec's width-growth
+    rule (widen after assigning code 1<<width), so the decoder's
+    sync logic is checked against a from-the-spec encoder, not
+    round-tripped through itself."""
+    clear = 1 << min_code
+    end = clear + 1
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = clear + 2
+    width = min_code + 1
+    bits = []  # (code, width) pairs
+
+    def emit(code):
+        bits.append((code, width))
+
+    emit(clear)
+    w = b""
+    for k in bytes(indices):
+        wk = w + bytes([k])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w])
+        if next_code < 4096:
+            table[wk] = next_code
+            next_code += 1
+            if next_code > (1 << width) and width < 12:
+                width += 1
+        w = bytes([k])
+    if w:
+        emit(table[w])
+    emit(end)
+    out = bytearray()
+    buf = nbits = 0
+    for code, cw in bits:
+        buf |= code << nbits
+        nbits += cw
+        while nbits >= 8:
+            out.append(buf & 0xFF)
+            buf >>= 8
+            nbits -= 8
+    if nbits:
+        out.append(buf & 0xFF)
+    return bytes(out)
+
+
+def _gif_bytes(img, palette, *, interlace=False, left=0, top=0,
+               screen=None, bg=0, transparent=None, local_ct=False,
+               animated_junk=False):
+    """Minimal reference GIF89a encoder: `img` is an (h, w) index
+    array into `palette` ((n, 3) uint8, n a power of two ≥ 4)."""
+    fh, fw = img.shape
+    sw, sh = screen or (left + fw, top + fh)
+    n = len(palette)
+    ctbits = max(2, n.bit_length() - 1)
+    assert n == 1 << ctbits
+    out = bytearray(b"GIF89a")
+    packed = (0x80 | (ctbits - 1)) if not local_ct else 0
+    out += struct.pack("<HHBB", sw, sh, packed, bg) + b"\x00"
+    if not local_ct:
+        out += palette.astype(np.uint8).tobytes()
+    if transparent is not None:
+        out += bytes([0x21, 0xF9, 4, 0x01, 0, 0, transparent, 0])
+    if animated_junk:  # a comment extension the decoder must skip
+        out += bytes([0x21, 0xFE, 5]) + b"hello" + b"\x00"
+    fpacked = (0x80 | (ctbits - 1)) if local_ct else 0
+    if interlace:
+        fpacked |= 0x40
+        rows = np.concatenate([np.arange(r0, fh, st)
+                               for r0, st in ((0, 8), (4, 8),
+                                              (2, 4), (1, 2))])
+        img = img[rows]
+    out += bytes([0x2C]) + struct.pack("<HHHHB", left, top, fw, fh,
+                                       fpacked)
+    if local_ct:
+        out += palette.astype(np.uint8).tobytes()
+    min_code = max(2, ctbits)
+    out += bytes([min_code])
+    data = _gif_lzw_encode(img.reshape(-1), min_code)
+    for i in range(0, len(data), 255):
+        chunk = data[i:i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3B"
+    return bytes(out)
+
+
+@pytest.fixture()
+def gif_case():
+    rng = np.random.default_rng(7)
+    palette = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, size=(13, 9), dtype=np.uint8)
+    return idx, palette
+
+
+def test_decode_gif_plain_and_interlaced(gif_case):
+    idx, palette = gif_case
+    want = palette[idx]
+    out = multimodal.decode_image(_gif_bytes(idx, palette))
+    np.testing.assert_array_equal(out, want)
+    out = multimodal.decode_image(_gif_bytes(idx, palette,
+                                             interlace=True))
+    np.testing.assert_array_equal(out, want)
+    # a small palette forces width growth through 3→4→… bit codes
+    small = palette[:4]
+    idx4 = (idx % 4).astype(np.uint8)
+    out = multimodal.decode_image(_gif_bytes(idx4, small))
+    np.testing.assert_array_equal(out, small[idx4])
+
+
+def test_decode_gif_local_table_offset_transparency(gif_case):
+    idx, palette = gif_case
+    # frame offset into a larger logical screen, local color table,
+    # comment extension to skip, transparency punching to background
+    p = _gif_bytes(idx, palette, left=3, top=2, screen=(16, 18), bg=5,
+                   transparent=int(idx[0, 0]), local_ct=True,
+                   animated_junk=True)
+    out = multimodal.decode_image(p)
+    assert out.shape == (18, 16, 3)
+    # local-ct frames have no GCT, so the background is black
+    np.testing.assert_array_equal(out[0, 0], [0, 0, 0])
+    mask = idx == idx[0, 0]
+    frame = out[2:2 + 13, 3:3 + 9]
+    np.testing.assert_array_equal(frame[~mask], palette[idx[~mask]])
+    np.testing.assert_array_equal(frame[mask],
+                                  np.zeros((mask.sum(), 3), np.uint8))
+
+
+def test_decode_gif_lzw_full_table():
+    # >4096 dictionary entries: noise at max palette width exercises
+    # the table-full (deferred clear) path and 12-bit code plateau
+    rng = np.random.default_rng(3)
+    palette = rng.integers(0, 256, size=(256, 3), dtype=np.uint8)
+    idx = rng.integers(0, 256, size=(90, 80), dtype=np.uint8)
+    out = multimodal.decode_image(_gif_bytes(idx, palette))
+    np.testing.assert_array_equal(out, palette[idx])
+
+
+def test_decode_gif_rejects_and_falls_back(gif_case):
+    idx, palette = gif_case
+    ok = _gif_bytes(idx, palette)
+    with pytest.raises(ValueError):  # truncated mid-stream
+        multimodal.decode_image(ok[:20])
+    with pytest.raises(ValueError):  # no image descriptor
+        multimodal.decode_image(ok[:13 + 48] + b"\x3B")
+    bad = bytearray(ok)
+    bad[6:8] = struct.pack("<H", 0)  # zero-width logical screen
+    with pytest.raises(ValueError):
+        multimodal.decode_image(bytes(bad))
+    # total-stage contract: malformed GIFs land on the fake path
+    t = pa.table({"url": pa.array(["a", "b"]),
+                  "html": pa.array([ok[:20], ok], pa.binary())})
+    out = multimodal.ImageResizer(out_hw=(2, 2))(t)
+    assert out.num_rows == 2
+    want = multimodal.resize_nn(multimodal.to_gray(palette[idx]), 2, 2)
+    assert out["pixels"].to_pylist()[1] == want.reshape(-1).tolist()
