@@ -7,8 +7,11 @@ for PPM/PGM (netpbm P6/P5), 24-bit uncompressed BMP, 8-bit PNG
 (sequential or Adam7; stdlib zlib inflate + numpy unfilter), and
 baseline + progressive JPEG (:mod:`.jpeg`), and GIF87a/89a first
 frames (stdlib-loop LZW) — see
-:func:`decode_image`; the remaining formats (WebP/MP3/…) stay
-gated behind an import-try with an honest ``NotImplementedError``.
+:func:`decode_image` — plus RIFF/WAVE PCM audio (:func:`decode_wav`),
+YUV4MPEG2 video frames (:func:`decode_y4m`) and MP3 frame-header
+metadata (:func:`mp3_metadata`); the remaining formats (WebP, MP3
+PCM decode, …) stay gated behind an import-try with an honest
+``NotImplementedError`` or fake-feature fallback.
 :class:`PayloadFeaturizer` uses a
 deterministic content-hash fake feature in place of a model forward
 pass so the Ray-side plumbing — schema, batch sizing, actor
@@ -478,6 +481,82 @@ def fake_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
     return (np.frombuffer(h, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
 
 
+# Y4M colorspace tag (exact) → chroma plane size as (h, w) divisors;
+# None = no chroma planes (mjpegtools yuv4mpeg(5)). Exact match only:
+# bit-depth extensions (C420p10/p12/…) and C444alpha pack differently
+# and must be rejected, not prefix-matched into a misread.
+_Y4M_CHROMA = {"420": (2, 2), "420jpeg": (2, 2), "420paldv": (2, 2),
+               "420mpeg2": (2, 2), "422": (1, 2), "444": (1, 1),
+               "mono": None}
+
+
+def decode_y4m(payload: bytes) -> tuple[list[np.ndarray], float]:
+    """REAL stdlib+numpy YUV4MPEG2 (.y4m) decode → (luma planes, fps).
+
+    Parses the stream header (W/H/F tags; C420* variants, C422, C444,
+    Cmono) and every FRAME's raw planes; returns each frame's (h, w)
+    uint8 luma (chroma is skipped over, not read — feature extraction
+    is luma-based, the same contract as :func:`to_gray`). Y4M is the
+    uncompressed interchange format every codec toolchain emits, so
+    the frame-sample stage is format-real without a codec library."""
+    p = payload or b""
+    nl = p.find(b"\n")
+    if not p.startswith(b"YUV4MPEG2") or nl < 0:
+        raise ValueError("not a YUV4MPEG2 stream")
+    w = h = 0
+    fps = 0.0
+    cdiv = _Y4M_CHROMA["420"]  # spec default when no C tag
+    for tag in p[9:nl].split():
+        t, v = chr(tag[0]), tag[1:].decode("ascii", "replace")
+        if t == "W":
+            w = int(v)
+        elif t == "H":
+            h = int(v)
+        elif t == "F":
+            num, den = v.split(":")
+            fps = int(num) / max(1, int(den))
+        elif t == "C":
+            if v not in _Y4M_CHROMA:
+                raise ValueError(f"unsupported Y4M colorspace C{v}")
+            cdiv = _Y4M_CHROMA[v]
+    if not w or not h or w * h > (64 << 20):
+        raise ValueError(f"bad Y4M dimensions {w}x{h}")
+    ysize = w * h
+    csize = 0 if cdiv is None else \
+        2 * ((h // cdiv[0]) * (w // cdiv[1]))
+    frames: list[np.ndarray] = []
+    i = nl + 1
+    while i < len(p):
+        fnl = p.find(b"\n", i)
+        if fnl < 0 or p[i:i + 5] != b"FRAME":
+            raise ValueError("bad Y4M FRAME marker")
+        i = fnl + 1
+        if i + ysize + csize > len(p):
+            raise ValueError("truncated Y4M frame")
+        frames.append(np.frombuffer(p, np.uint8, count=ysize,
+                                    offset=i).reshape(h, w))
+        i += ysize + csize
+    if not frames:
+        raise ValueError("Y4M stream with no frames")
+    return frames, fps
+
+
+def frame_features(luma: np.ndarray, dim: int = FEATURE_DIM) -> np.ndarray:
+    """REAL per-frame features over a (h, w) uint8 luma plane: mean,
+    std, min, max, quartiles, mean |horizontal gradient| — all in
+    [0, 1], deterministic, fully vectorized. Same length/layout as
+    :func:`fake_features` so real and fake frames share a schema."""
+    y = luma.astype(np.float64) / 255.0
+    q25, q50, q75 = np.quantile(y, (0.25, 0.5, 0.75))
+    grad = float(np.abs(np.diff(y, axis=1)).mean()) if y.shape[1] > 1 \
+        else 0.0
+    f = np.array([y.mean(), y.std(), y.min(), y.max(),
+                  q25, q50, q75, grad])
+    if dim <= len(f):
+        return f[:dim]
+    return np.pad(f, (0, dim - len(f)))
+
+
 class PayloadFeaturizer:
     """Actor-pool worker: (key_col, payload_col) → metadata + features.
 
@@ -620,6 +699,72 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     return x, rate
 
 
+# MPEG audio (Layer III) header tables, ISO/IEC 11172-3 / 13818-3:
+# bitrate kbps by [version-group][bitrate index]; sample rate by
+# [version][samplerate index]. Version bits: 0=MPEG2.5, 2=MPEG2,
+# 3=MPEG1 (1 is reserved).
+_MP3_BITRATE = {
+    3: (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256,
+        320),
+    2: (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+}
+_MP3_RATE = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000),
+             0: (11025, 12000, 8000)}
+
+
+def mp3_metadata(payload: bytes) -> tuple[int, int, int] | None:
+    """REAL MP3 (MPEG Layer III) frame-header walk → (sample_rate,
+    n_mpeg_frames, n_samples), or None when the payload isn't MP3.
+
+    Skips a leading ID3v2 tag (syncsafe size), then walks frame
+    headers — version/layer/bitrate/samplerate/padding → exact frame
+    byte length — summing 1152 (MPEG1) / 576 (MPEG2/2.5) samples per
+    frame; stops cleanly at an ID3v1 trailer or <1 header of slack.
+    Needs ≥2 consecutive valid frames so random bytes can't false-sync.
+    Full PCM decode (Huffman + hybrid filterbank) stays honestly
+    gated — this gives the stage real metadata (rate, duration) with
+    no codec library."""
+    p = payload or b""
+    i = 0
+    if p[:3] == b"ID3" and len(p) >= 10:
+        sz = ((p[6] & 0x7F) << 21) | ((p[7] & 0x7F) << 14) | \
+            ((p[8] & 0x7F) << 7) | (p[9] & 0x7F)
+        i = 10 + sz
+    rate0 = None
+    n_frames = 0
+    n_samples = 0
+    while i + 4 <= len(p):
+        if p[i:i + 3] == b"TAG":  # ID3v1 trailer
+            break
+        b0, b1, b2 = p[i], p[i + 1], p[i + 2]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            break
+        version = (b1 >> 3) & 0x03
+        layer = (b1 >> 1) & 0x03
+        br_idx = (b2 >> 4) & 0x0F
+        sr_idx = (b2 >> 2) & 0x03
+        padding = (b2 >> 1) & 0x01
+        if version == 1 or layer != 1 or br_idx in (0, 15) or \
+                sr_idx == 3:  # reserved / free-format / bad rate
+            break
+        kbps = _MP3_BITRATE[3 if version == 3 else 2][br_idx]
+        rate = _MP3_RATE[version][sr_idx]
+        if rate0 is None:
+            rate0 = rate
+        elif rate != rate0:
+            break  # rate change mid-stream: not a clean MP3
+        spf = 1152 if version == 3 else 576
+        flen = (spf // 8) * kbps * 1000 // rate + padding
+        if flen < 4 or i + flen > len(p):
+            break
+        n_frames += 1
+        n_samples += spf
+        i += flen
+    if n_frames < 2 or rate0 is None:
+        return None
+    return rate0, n_frames, n_samples
+
+
 def audio_frame_features(x: np.ndarray, rate: int,
                          frame_ms: int = 25) -> np.ndarray:
     """Per-frame (RMS, zero-crossing-rate) features, fully vectorized:
@@ -640,8 +785,11 @@ def audio_frame_features(x: np.ndarray, rate: int,
 
 class AudioFeaturizer:
     """Actor-pool worker: (key, payload) → per-payload audio features.
-    WAV-PCM payloads decode natively (decode_wav); anything else falls
-    back to the deterministic fake features so the stage is total.
+    WAV-PCM payloads decode natively (decode_wav); MP3 payloads get
+    REAL metadata (sample_rate + exact sample count from the frame-
+    header walk, :func:`mp3_metadata`) with fake features (PCM decode
+    stays codec-gated); anything else falls back entirely to the
+    deterministic fake features so the stage is total.
     Emits (key, sample_rate, n_samples, n_frames, features) with
     features = the flattened per-frame (rms, zcr) matrix."""
 
@@ -662,8 +810,9 @@ class AudioFeaturizer:
                 n_fr.append(f.shape[0])
                 feats.append(f.reshape(-1).tolist())
             except _DECODE_ERRORS:
-                rates.append(0)
-                n_samp.append(len(p or b""))
+                meta = mp3_metadata(p)
+                rates.append(meta[0] if meta else 0)
+                n_samp.append(meta[2] if meta else len(p or b""))
                 n_fr.append(0)
                 feats.append(fake_features(p).tolist())
         return pa.table({
@@ -676,13 +825,18 @@ class AudioFeaturizer:
 
 
 class FrameSampler:
-    """Actor-pool worker for "video" payloads: one input row →
+    """Actor-pool worker for video payloads: one input row →
     ``n_frames`` output rows (key, frame_idx, frame_sha1, features) —
-    the flat_map explode layout a real frame sampler produces. The
-    frame count is a deterministic function of the payload
-    (1 + sha1 % max_frames) and each frame is a byte-window of the
-    payload, so row counts and values are stable for tests/goldens.
-    Payloads are dropped at emit (the §4.2 payload-hygiene rule)."""
+    the flat_map explode layout a real frame sampler produces.
+
+    YUV4MPEG2 payloads are REAL: up to ``max_frames`` evenly-spaced
+    frames are decoded (:func:`decode_y4m`), ``frame_idx`` is the
+    source frame number, ``frame_sha1`` hashes the decoded luma plane
+    and ``features`` are :func:`frame_features` over it. Any other
+    payload falls back to the deterministic fake explode (frame count
+    = 1 + sha1 % max_frames over byte-windows), so the stage is total
+    and row counts stay stable for tests/goldens. Payloads are
+    dropped at emit (the §4.2 payload-hygiene rule)."""
 
     def __init__(self, payload_col: str = "html", key_col: str = "url",
                  max_frames: int = 4, dim: int = FEATURE_DIM):
@@ -696,6 +850,24 @@ class FrameSampler:
         o_key, o_idx, o_sha, o_feat = [], [], [], []
         for key, p in zip(keys_in, t[self.payload_col].to_pylist()):
             p = p or b""
+            if p.startswith(b"YUV4MPEG2"):
+                try:
+                    frames, _fps = decode_y4m(p)
+                    picks = np.unique(np.linspace(
+                        0, len(frames) - 1,
+                        min(self.max_frames, len(frames)))
+                        .round().astype(np.int64))
+                    for i in picks:
+                        luma = frames[int(i)]
+                        o_key.append(key)
+                        o_idx.append(int(i))
+                        o_sha.append(hashlib.sha1(
+                            luma.tobytes()).hexdigest())
+                        o_feat.append(frame_features(
+                            luma, self.dim).tolist())
+                    continue
+                except _DECODE_ERRORS:
+                    pass  # malformed stream → the fake path below
             n = 1 + int.from_bytes(hashlib.sha1(p).digest()[:4],
                                    "little") % self.max_frames
             span = max(1, len(p) // n)

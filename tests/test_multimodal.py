@@ -581,3 +581,115 @@ def test_decode_gif_rejects_and_falls_back(gif_case):
     assert out.num_rows == 2
     want = multimodal.resize_nn(multimodal.to_gray(palette[idx]), 2, 2)
     assert out["pixels"].to_pylist()[1] == want.reshape(-1).tolist()
+
+
+# ---------------------------------------------------------------------------
+# native Y4M video frame decode + MP3 frame-header metadata
+# ---------------------------------------------------------------------------
+
+def _y4m_bytes(frames_luma, *, cspace="420", fps=(25, 1),
+               frame_param=b""):
+    """Minimal reference YUV4MPEG2 writer: luma from the given planes,
+    chroma planes filled with 0x80 per the colorspace geometry."""
+    h, w = frames_luma[0].shape
+    out = bytearray(
+        f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} Ip A1:1".encode())
+    if cspace:
+        out += b" C" + cspace.encode()
+    out += b"\n"
+    div = {"420": (2, 2), "420jpeg": (2, 2), "422": (1, 2),
+           "444": (1, 1), "mono": None}.get(cspace or "420", (2, 2))
+    for y in frames_luma:
+        out += b"FRAME" + frame_param + b"\n" + y.tobytes()
+        if div:
+            out += b"\x80" * (2 * ((h // div[0]) * (w // div[1])))
+    return bytes(out)
+
+
+def test_decode_y4m_colorspaces_and_fps():
+    rng = np.random.default_rng(5)
+    frames = [rng.integers(0, 256, size=(8, 6), dtype=np.uint8)
+              for _ in range(5)]
+    for cs in ("420", "420jpeg", "422", "444", "mono"):
+        got, fps = multimodal.decode_y4m(_y4m_bytes(frames, cspace=cs))
+        assert fps == 25.0 and len(got) == 5
+        for a, b in zip(got, frames):
+            np.testing.assert_array_equal(a, b)
+    # no C tag → 420 default; per-FRAME params are skipped
+    got, fps = multimodal.decode_y4m(
+        _y4m_bytes(frames, cspace="", fps=(30000, 1001),
+                   frame_param=b" Xweird"))
+    assert len(got) == 5 and abs(fps - 29.97) < 0.01
+    with pytest.raises(ValueError):  # truncated last frame
+        multimodal.decode_y4m(_y4m_bytes(frames)[:-10])
+    with pytest.raises(ValueError):  # 10-bit colorspace unsupported
+        multimodal.decode_y4m(_y4m_bytes(frames, cspace="420p10"))
+
+
+def test_frame_sampler_real_y4m_path(ray_session):
+    import ray
+
+    rng = np.random.default_rng(9)
+    frames = [rng.integers(0, 256, size=(10, 8), dtype=np.uint8)
+              for _ in range(9)]
+    good = _y4m_bytes(frames)
+    junk = b"not a video at all"
+    ds = ray.data.from_items([{"url": "v1", "html": good},
+                              {"url": "j1", "html": junk}])
+    out = multimodal.sample_frames(ds, max_frames=4).to_pandas()
+    v = out[out.url == "v1"].sort_values("frame_idx")
+    # 4 evenly-spaced REAL source frames: 0, 3, 5, 8 of 9
+    assert v.frame_idx.tolist() == [0, 3, 5, 8]
+    import hashlib as _h
+    assert v.frame_sha1.tolist() == [
+        _h.sha1(frames[i].tobytes()).hexdigest() for i in (0, 3, 5, 8)]
+    feats = np.array(v.features.tolist())
+    # real luma stats land in [0, 1]; fake features land in [-1, 1)
+    assert (feats >= 0).all() and (feats <= 1).all()
+    want = multimodal.frame_features(frames[3])
+    np.testing.assert_allclose(feats[1], want)
+    # the junk row still explodes on the deterministic fake path
+    assert len(out[out.url == "j1"]) >= 1
+
+
+def _mp3_bytes(n_frames, *, version=3, br_idx=9, sr_idx=0, pad=0,
+               id3=False):
+    """Minimal reference MP3 writer: valid Layer-III headers with
+    zeroed payloads, sized exactly per the spec tables."""
+    rate = multimodal._MP3_RATE[version][sr_idx]
+    kbps = multimodal._MP3_BITRATE[3 if version == 3 else 2][br_idx]
+    spf = 1152 if version == 3 else 576
+    flen = (spf // 8) * kbps * 1000 // rate + pad
+    hdr = bytes([0xFF, 0xE0 | (version << 3) | (1 << 1) | 1,
+                 (br_idx << 4) | (sr_idx << 2) | (pad << 1), 0])
+    out = b""
+    if id3:
+        tag = b"junkdata12"  # 10 bytes, syncsafe size
+        out += b"ID3\x04\x00\x00" + bytes([0, 0, 0, len(tag)]) + tag
+    return out + (hdr + b"\x00" * (flen - 4)) * n_frames
+
+
+def test_mp3_metadata_walk():
+    meta = multimodal.mp3_metadata(_mp3_bytes(7))
+    assert meta == (44100, 7, 7 * 1152)
+    # MPEG2 @ 16 kHz, padded frames, leading ID3v2 tag
+    meta = multimodal.mp3_metadata(
+        _mp3_bytes(5, version=2, sr_idx=2, pad=1, id3=True))
+    assert meta == (16000, 5, 5 * 576)
+    # trailing ID3v1 tag stops the walk cleanly
+    meta = multimodal.mp3_metadata(_mp3_bytes(3) + b"TAG" + b"\x00" * 125)
+    assert meta == (44100, 3, 3 * 1152)
+    # a single frame, random bytes, or WAV must NOT sync
+    assert multimodal.mp3_metadata(_mp3_bytes(1)) is None
+    assert multimodal.mp3_metadata(b"\xff\xfbjunk" * 40) is None
+    assert multimodal.mp3_metadata(b"RIFFxxxxWAVE") is None
+
+
+def test_audio_featurizer_mp3_metadata_path():
+    p = _mp3_bytes(6)
+    t = pa.table({"url": pa.array(["m", "x"]),
+                  "html": pa.array([p, b"noise"], pa.binary())})
+    out = multimodal.AudioFeaturizer()(t)
+    assert out["sample_rate"].to_pylist() == [44100, 0]
+    assert out["n_samples"].to_pylist()[0] == 6 * 1152
+    assert out["n_frames"].to_pylist() == [0, 0]  # PCM decode stays gated
