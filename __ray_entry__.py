@@ -523,6 +523,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # corpus analytics (ops/analytics.py)
         "q_heavy_hitters": A.q_heavy_hitters,
         "q_tfidf": A.q_tfidf,
+        "q_dsir_select": A.q_dsir_select,  # importance resampling
         "q_redact": A.q_redact,
         "q_quality_filter": A.q_quality_filter,
         # text analysis / dedup / similarity (training-data ops)
@@ -876,6 +877,38 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, word, score_c
             FROM s WHERE rnk <= 3
+        """,
+        "q_dsir_select": r"""
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text),
+                              '[a-z0-9_''-]+')) AS w
+                FROM documents
+            ),
+            raw AS (SELECT w, COUNT(*) AS cr FROM tok GROUP BY w),
+            tgt AS (SELECT w, COUNT(*) AS ct FROM tok
+                    WHERE doc_id < 50 GROUP BY w),
+            consts AS (
+                SELECT (SELECT COALESCE(SUM(ct), 0) FROM tgt) AS t_total,
+                       (SELECT COALESCE(SUM(cr), 0) FROM raw) AS r_total,
+                       (SELECT COUNT(*) FROM raw) AS v_size),
+            lam AS (
+                SELECT r.w,
+                       CAST(FLOOR((ln(COALESCE(t.ct, 0) + 1.0)
+                                   - ln(CAST(c.t_total + c.v_size AS DOUBLE))
+                                   - ln(r.cr + 1.0)
+                                   + ln(CAST(c.r_total + c.v_size AS DOUBLE)))
+                                  * 10000.0 + 0.5) AS BIGINT) AS lam_c
+                FROM raw r LEFT JOIN tgt t USING (w) CROSS JOIN consts c
+            ),
+            dc AS (SELECT doc_id, w, COUNT(*) AS n
+                   FROM tok GROUP BY doc_id, w),
+            scores AS (
+                SELECT doc_id, SUM(n * lam_c) AS score_c
+                FROM dc JOIN lam USING (w) GROUP BY doc_id
+            )
+            SELECT doc_id, CAST(score_c AS BIGINT) AS score_c
+            FROM scores ORDER BY score_c DESC, doc_id ASC LIMIT 200
         """,
         "q_redact": r"""
             SELECT event_id,

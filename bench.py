@@ -346,7 +346,7 @@ def run_bench() -> dict:
         "q_window_agg", "q_adjacent_pairs", "q_dedup_exact",
         "q_corpus_prep", "q_minhash_neardup", "q_ann_topk",
         "q_doc_signatures",
-        "q_heavy_hitters", "q_tfidf", "q_quality_filter",
+        "q_heavy_hitters", "q_tfidf", "q_dsir_select", "q_quality_filter",
         "q_count_distinct"]
     for name in qnames:
         best = None

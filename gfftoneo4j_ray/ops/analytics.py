@@ -418,3 +418,125 @@ def make_mixture_keep(rates_by_key: dict, key_col: str, id_col: str,
         return t.filter(pa.array(h.astype(np.int64) < thr))
 
     return keep
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance selection (target-distribution data selection)
+# ---------------------------------------------------------------------------
+
+def q_dsir_select(sf_dir: str, target_max_id: int = 50, k: int = 200,
+                  hash_buckets: int | None = None):
+    """Select the ``k`` raw documents whose unigram distribution best
+    matches a target corpus — Data Selection via Importance Resampling
+    (Xie et al. 2023, NeurIPS; arXiv:2302.03169) with bag-of-words
+    features and add-1-smoothed unigram LMs.
+
+    Model: λ(w) = ln p_target(w) − ln p_raw(w) with
+    p(w) = (c(w)+1)/(total+|V|) over the joint (= raw, since target ⊆
+    raw) vocabulary; a document's log importance weight is
+    Σ_w n_w(doc)·λ(w). λ is pre-rounded to a per-word integer
+    (×10⁴, half-up) so the per-doc sum is EXACT integer arithmetic —
+    the oracle-convention trick that makes a floating-point model
+    hash-comparable across engines. Docs with zero tokens carry no
+    weight rows and are never selected (both engines agree).
+
+    Scale shape (the tf⋈df layout): target/raw counts are two-phase
+    hash aggregates over the exploded token stream; λ is a vocab-scale
+    LEFT join (raw ⋖ target — no vocabulary broadcast); doc scores are
+    a bucketed shuffle join of (doc, w, n) against λ(w) plus one more
+    hash aggregate; the final sort is bounded by per-block top-k. The
+    three model scalars (token totals, |V|) are reduce aggregates, not
+    driver materializations. ``hash_buckets``: replace words by
+    blake2-hashed feature buckets (the paper's fixed-dimension variant
+    for 10¹²-token vocabularies); the exact-word config is the oracle-
+    checked one.
+
+    Returns (doc_id, score_c) — the selected docs, score descending.
+    """
+    from .join import hash_join
+
+    ds = _docs(sf_dir)
+
+    def featurize(flat: pa.Array) -> pa.Array:
+        if hash_buckets is None:
+            return flat
+        import hashlib as _h
+
+        uniq = pc.unique(flat)
+        m = {w: str(int.from_bytes(_h.blake2b(
+            w.encode(), digest_size=8).digest(), "big") % hash_buckets)
+            for w in uniq.to_pylist()}
+        return pa.array([m[w] for w in flat.to_pylist()], pa.string())
+
+    def tgt_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t["doc_id"], target_max_id))
+        flat, _ = _tokens_flat(t["text"])
+        g = pa.table({"w": featurize(flat)}).group_by(["w"]) \
+            .aggregate([("w", "count")])
+        return g.rename_columns(["w", "ct_part"])
+
+    def raw_partial(t: pa.Table) -> pa.Table:
+        flat, _ = _tokens_flat(t["text"])
+        g = pa.table({"w": featurize(flat)}).group_by(["w"]) \
+            .aggregate([("w", "count")])
+        return g.rename_columns(["w", "cr_part"])
+
+    tgt = hash_aggregate(ds.map_batches(tgt_partial, batch_format="pyarrow"),
+                         "w", [("ct_part", "sum", "ct")], num_buckets=16)
+    raw = hash_aggregate(ds.map_batches(raw_partial, batch_format="pyarrow"),
+                         "w", [("cr_part", "sum", "cr")], num_buckets=16)
+    t_total = tgt.sum("ct") or 0
+    r_total = raw.sum("cr") or 0
+    v_size = raw.count()
+    ln_tv = float(np.log(np.float64(t_total + v_size)))
+    ln_rv = float(np.log(np.float64(r_total + v_size)))
+
+    lam = hash_join(
+        raw, tgt, on="w", how="left", num_buckets=16,
+        left_schema=pa.schema([("w", pa.string()), ("cr", pa.int64())]),
+        right_schema=pa.schema([("w", pa.string()), ("ct", pa.int64())]))
+
+    def lam_c(t: pa.Table) -> pa.Table:
+        ct = t["ct"].to_numpy(zero_copy_only=False)
+        ct = np.where(np.isnan(ct.astype(np.float64)), 0.0,
+                      ct.astype(np.float64))
+        cr = t["cr"].to_numpy(zero_copy_only=False).astype(np.float64)
+        # EXACT expression mirrored in the SQL oracle, term for term
+        lam = np.log(ct + 1.0) - ln_tv - np.log(cr + 1.0) + ln_rv
+        return pa.table({
+            "w": t["w"],
+            "lam_c": pa.array(np.floor(lam * 10000.0 + 0.5)
+                              .astype(np.int64))})
+
+    def doc_counts(t: pa.Table) -> pa.Table:
+        flat, parent = _tokens_flat(t["text"])
+        g = pa.table({"doc_id": t["doc_id"].take(parent),
+                      "w": featurize(flat)}) \
+            .group_by(["doc_id", "w"]).aggregate([("w", "count")])
+        return g.rename_columns(["doc_id", "w", "n"])
+
+    weighted = hash_join(
+        ds.map_batches(doc_counts, batch_format="pyarrow"),
+        lam.map_batches(lam_c, batch_format="pyarrow"),
+        on="w", num_buckets=16,
+        left_schema=pa.schema([("doc_id", pa.int64()), ("w", pa.string()),
+                               ("n", pa.int64())]),
+        right_schema=pa.schema([("w", pa.string()),
+                                ("lam_c", pa.int64())]))
+
+    def contrib(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lc = t["lam_c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"doc_id": t["doc_id"],
+                         "part": pa.array(n * lc, pa.int64())})
+
+    scores = hash_aggregate(
+        weighted.map_batches(contrib, batch_format="pyarrow"),
+        "doc_id", [("part", "sum", "score_c")], num_buckets=16)
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        return t.sort_by([("score_c", "descending"),
+                          ("doc_id", "ascending")]).slice(0, k)
+
+    return scores.map_batches(local_topk, batch_format="pyarrow") \
+        .sort(["score_c", "doc_id"], descending=[True, False]).limit(k)

@@ -41,7 +41,7 @@ NEW_ORACLE_QUERIES = [
     "q_pivot", "q_grouping_sets", "q_count_distinct", "q_quantile_hist",
     "q_arg_max", "q_numeric_stats", "q_sample_hash", "q_dim_rollups",
     "q_heavy_hitters", "q_tfidf", "q_redact",
-    "q_quality_filter", "q_rolling_avg",
+    "q_quality_filter", "q_rolling_avg", "q_dsir_select",
 ]
 
 
@@ -347,3 +347,19 @@ def test_mixture_sample_rates_and_determinism(ray_session):
     out3 = mixture_sample(ray.data.from_arrow(t2), rates,
                           key_col="quality", id_col="doc_id").to_pandas()
     assert list(out3["quality"]) == ["hi"]
+
+
+def test_dsir_hashed_variant_deterministic(ray_session):
+    from gfftoneo4j_ray.ops.analytics import q_dsir_select
+
+    sf = "/root/testdata/sf0.001"
+    a = q_dsir_select(sf, k=25, hash_buckets=512).to_pandas()
+    b = q_dsir_select(sf, k=25, hash_buckets=512).to_pandas()
+    assert len(a) == 25 and a.equals(b)
+    # hashed features approximate the exact-word ranking: the top
+    # selections overlap heavily (bucket collisions only perturb tails)
+    exact = q_dsir_select(sf, k=25).to_pandas()
+    assert len(set(a.doc_id) & set(exact.doc_id)) >= 15
+    # target docs themselves score high under their own distribution:
+    # selections are enriched in sub-target ids vs a uniform draw
+    assert (exact.doc_id < 50).mean() > 0.2
