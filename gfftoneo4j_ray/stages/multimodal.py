@@ -5,13 +5,14 @@ decode / feature-extract / resize / frame-sample are actor-pool
 ``map_batches`` stages. Decode is REAL — no codec library needed —
 for PPM/PGM (netpbm P6/P5), 24-bit uncompressed BMP, 8-bit PNG
 (sequential or Adam7; stdlib zlib inflate + numpy unfilter), and
-baseline + progressive JPEG (:mod:`.jpeg`), and GIF87a/89a first
-frames (stdlib-loop LZW) — see
-:func:`decode_image` — plus RIFF/WAVE PCM audio (:func:`decode_wav`),
-YUV4MPEG2 video frames (:func:`decode_y4m`) and MP3 frame-header
-metadata (:func:`mp3_metadata`); the remaining formats (WebP, MP3
-PCM decode, …) stay gated behind an import-try with an honest
-``NotImplementedError`` or fake-feature fallback.
+baseline + progressive JPEG (:mod:`.jpeg`), GIF87a/89a first
+frames (stdlib-loop LZW), and lossless WebP (VP8L, :mod:`.webp`) —
+see :func:`decode_image` — plus RIFF/WAVE PCM audio
+(:func:`decode_wav`), YUV4MPEG2 video frames (:func:`decode_y4m`)
+and MP3 frame-header metadata (:func:`mp3_metadata`); the remaining
+formats (lossy-VP8 WebP, MP3 PCM decode, …) stay gated behind an
+import-try with an honest ``NotImplementedError`` or fake-feature
+fallback.
 :class:`PayloadFeaturizer` uses a
 deterministic content-hash fake feature in place of a model forward
 pass so the Ray-side plumbing — schema, batch sizing, actor
@@ -71,6 +72,8 @@ def sniff_format(payload: bytes) -> str | None:
         return "jpeg"
     if p[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"
+    if p[:4] == b"RIFF" and p[8:12] == b"WEBP":
+        return "webp"
     return None
 
 
@@ -410,17 +413,22 @@ def decode_image(payload: bytes) -> np.ndarray:
     uncompressed bottom-up/top-down BMP, 8-bit sequential or
     Adam7-interlaced PNG (gray/RGB/palette/gray+alpha/RGBA — see
     :func:`_decode_png`), baseline (SOF0) or progressive (SOF2)
-    JPEG (:mod:`stages.jpeg`; arithmetic-coded JPEG falls back), and
-    GIF87a/89a first frame (:func:`_decode_gif`).
-    Formats needing an external codec (WebP/…, absent in this
-    container) raise ``NotImplementedError`` unless one is
-    importable."""
+    JPEG (:mod:`stages.jpeg`; arithmetic-coded JPEG falls back),
+    GIF87a/89a first frame (:func:`_decode_gif`), and lossless WebP
+    (VP8L incl. all four transforms, :mod:`stages.webp`).
+    Formats needing an external codec (lossy-VP8 WebP, animations,
+    …, absent in this container) raise ``NotImplementedError``
+    unless one is importable."""
     p = payload or b""
     fmt = sniff_format(p)
     if fmt == "png":
         return _decode_png(p)
     if fmt == "gif":
         return _decode_gif(p)
+    if fmt == "webp":
+        from .webp import decode_webp
+
+        return decode_webp(p)
     if fmt == "jpeg":
         from .jpeg import decode_jpeg
 
