@@ -837,14 +837,16 @@ class FrameSampler:
     ``n_frames`` output rows (key, frame_idx, frame_sha1, features) —
     the flat_map explode layout a real frame sampler produces.
 
-    YUV4MPEG2 payloads are REAL: up to ``max_frames`` evenly-spaced
-    frames are decoded (:func:`decode_y4m`), ``frame_idx`` is the
-    source frame number, ``frame_sha1`` hashes the decoded luma plane
-    and ``features`` are :func:`frame_features` over it. Any other
-    payload falls back to the deterministic fake explode (frame count
-    = 1 + sha1 % max_frames over byte-windows), so the stage is total
-    and row counts stay stable for tests/goldens. Payloads are
-    dropped at emit (the §4.2 payload-hygiene rule)."""
+    YUV4MPEG2 and animated-lossless-WebP payloads are REAL: up to
+    ``max_frames`` evenly-spaced frames are decoded
+    (:func:`decode_y4m` / :func:`.webp.decode_webp_frames`),
+    ``frame_idx`` is the source frame number, ``frame_sha1`` hashes
+    the decoded luma plane and ``features`` are
+    :func:`frame_features` over it. Any other payload falls back to
+    the deterministic fake explode (frame count = 1 + sha1 %
+    max_frames over byte-windows), so the stage is total and row
+    counts stay stable for tests/goldens. Payloads are dropped at
+    emit (the §4.2 payload-hygiene rule)."""
 
     def __init__(self, payload_col: str = "html", key_col: str = "url",
                  max_frames: int = 4, dim: int = FEATURE_DIM):
@@ -858,24 +860,30 @@ class FrameSampler:
         o_key, o_idx, o_sha, o_feat = [], [], [], []
         for key, p in zip(keys_in, t[self.payload_col].to_pylist()):
             p = p or b""
-            if p.startswith(b"YUV4MPEG2"):
-                try:
+            frames = None
+            try:
+                if p.startswith(b"YUV4MPEG2"):
                     frames, _fps = decode_y4m(p)
-                    picks = np.unique(np.linspace(
-                        0, len(frames) - 1,
-                        min(self.max_frames, len(frames)))
-                        .round().astype(np.int64))
-                    for i in picks:
-                        luma = frames[int(i)]
-                        o_key.append(key)
-                        o_idx.append(int(i))
-                        o_sha.append(hashlib.sha1(
-                            luma.tobytes()).hexdigest())
-                        o_feat.append(frame_features(
-                            luma, self.dim).tolist())
-                    continue
-                except _DECODE_ERRORS:
-                    pass  # malformed stream → the fake path below
+                elif sniff_format(p) == "webp":
+                    from .webp import decode_webp_frames
+
+                    frames = [to_gray(f) for f in decode_webp_frames(p)]
+            except _DECODE_ERRORS:
+                frames = None  # malformed/gated → the fake path below
+            if frames:
+                picks = np.unique(np.linspace(
+                    0, len(frames) - 1,
+                    min(self.max_frames, len(frames)))
+                    .round().astype(np.int64))
+                for i in picks:
+                    luma = frames[int(i)]
+                    o_key.append(key)
+                    o_idx.append(int(i))
+                    o_sha.append(hashlib.sha1(
+                        luma.tobytes()).hexdigest())
+                    o_feat.append(frame_features(
+                        luma, self.dim).tolist())
+                continue
             n = 1 + int.from_bytes(hashlib.sha1(p).digest()[:4],
                                    "little") % self.max_frames
             span = max(1, len(p) // n)

@@ -485,31 +485,69 @@ def decode_vp8l(data: bytes) -> np.ndarray:
     return rgb.reshape(h, w, 3)
 
 
-def decode_webp(payload: bytes) -> np.ndarray:
-    """RIFF/WEBP container → decoded lossless image. ``VP8L`` decodes
-    natively (:func:`decode_vp8l`), inside a plain or ``VP8X``
-    extended container; lossy ``VP8 `` and ``ANIM`` animations raise
-    ``NotImplementedError`` (the honest codec gate)."""
-    p = payload or b""
-    if p[:4] != b"RIFF" or p[8:12] != b"WEBP":
-        raise ValueError("not a WebP container")
-    i = 12
-    saw_lossy = False
-    while i + 8 <= len(p):
+def _chunks(p: bytes, start: int, end: int):
+    i = start
+    while i + 8 <= end:
         tag = p[i:i + 4]
         size = int.from_bytes(p[i + 4:i + 8], "little")
         body = p[i + 8:i + 8 + size]
-        if len(body) < size:
+        if len(body) < size or i + 8 + size > end:
             raise ValueError("truncated WebP chunk")
-        if tag == b"VP8L":
-            return decode_vp8l(body)
-        if tag == b"VP8 ":
-            saw_lossy = True
-        if tag == b"ANIM":
-            raise NotImplementedError("animated WebP needs a codec "
-                                      "library (absent here)")
+        yield tag, body
         i += 8 + size + (size & 1)
-    if saw_lossy:
-        raise NotImplementedError("lossy WebP (VP8) needs a codec "
-                                  "library (absent here)")
+
+
+def _u24(b: bytes, off: int) -> int:
+    return int.from_bytes(b[off:off + 3], "little")
+
+
+def decode_webp_frames(payload: bytes) -> list[np.ndarray]:
+    """RIFF/WEBP container → decoded lossless frame list. A still
+    ``VP8L`` (plain or ``VP8X``-extended) yields one frame; an
+    animated container yields every full-canvas lossless ``ANMF``
+    frame in order. Lossy ``VP8 `` payloads and partial-canvas
+    animation frames (which need dispose/blend compositing over an
+    alpha channel this decoder drops) raise ``NotImplementedError`` —
+    the honest codec gate."""
+    p = payload or b""
+    if p[:4] != b"RIFF" or p[8:12] != b"WEBP":
+        raise ValueError("not a WebP container")
+    frames: list[np.ndarray] = []
+    saw_gate = None
+    for tag, body in _chunks(p, 12, len(p)):
+        if tag == b"VP8L":
+            return [decode_vp8l(body)]
+        if tag == b"VP8 ":
+            saw_gate = "lossy WebP (VP8) needs a codec library " \
+                "(absent here)"
+        elif tag == b"ANMF":
+            if len(body) < 16:
+                raise ValueError("truncated ANMF header")
+            fx, fy = 2 * _u24(body, 0), 2 * _u24(body, 3)
+            fw, fh = _u24(body, 6) + 1, _u24(body, 9) + 1
+            if fx or fy:
+                raise NotImplementedError(
+                    "partial-canvas WebP animation frames need "
+                    "alpha compositing (codec-gated here)")
+            got = None
+            for t2, b2 in _chunks(body, 16, len(body)):
+                if t2 == b"VP8L":
+                    got = decode_vp8l(b2)
+                elif t2 == b"VP8 ":
+                    saw_gate = "lossy WebP (VP8) needs a codec " \
+                        "library (absent here)"
+            if got is not None:
+                if got.shape[:2] != (fh, fw):
+                    raise ValueError("ANMF frame size mismatch")
+                frames.append(got)
+    if frames:
+        return frames
+    if saw_gate:
+        raise NotImplementedError(saw_gate)
     raise ValueError("WebP container with no image chunk")
+
+
+def decode_webp(payload: bytes) -> np.ndarray:
+    """First decoded frame of a WebP payload (the same first-frame
+    contract as the GIF path) — see :func:`decode_webp_frames`."""
+    return decode_webp_frames(payload)[0]

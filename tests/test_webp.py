@@ -381,3 +381,62 @@ def test_webp_gates_and_totality(rgb16):
     assert out.num_rows == 2
     want = multimodal.resize_nn(multimodal.to_gray(rgb16), 3, 3)
     assert out["pixels"].to_pylist()[1] == want.reshape(-1).tolist()
+
+
+def _anim_container(frames_vp8l, w, h, *, offsets=None) -> bytes:
+    """Animated-WebP writer: VP8X (animation flag) + ANIM + one ANMF
+    per VP8L frame payload."""
+    def chunk(tag, body):
+        out = tag + len(body).to_bytes(4, "little") + body
+        return out + (b"\x00" if len(body) & 1 else b"")
+
+    body = chunk(b"VP8X", bytes([0x02]) + bytes(3)
+                 + (w - 1).to_bytes(3, "little")
+                 + (h - 1).to_bytes(3, "little"))
+    body += chunk(b"ANIM", bytes(6))
+    offsets = offsets or [(0, 0)] * len(frames_vp8l)
+    for (fx, fy), fr in zip(offsets, frames_vp8l):
+        hdr = (fx // 2).to_bytes(3, "little") \
+            + (fy // 2).to_bytes(3, "little") \
+            + (w - 1).to_bytes(3, "little") \
+            + (h - 1).to_bytes(3, "little") \
+            + (40).to_bytes(3, "little") + bytes([0])
+        body += chunk(b"ANMF", hdr + chunk(b"VP8L", fr))
+    return b"RIFF" + (4 + len(body)).to_bytes(4, "little") + b"WEBP" \
+        + body
+
+
+def _vp8l_payload(img: np.ndarray) -> bytes:
+    h, w, _ = img.shape
+    bw = _BitW()
+    _vp8l_header(bw, w, h)
+    bw.w(0, 1)
+    _emit_pixels(bw, _literal_tokens(_rgb_to_argb(img)))
+    return bw.bytes()
+
+
+def test_webp_animation_frames_and_sampler(rgb16):
+    rng = np.random.default_rng(31)
+    frames = [rng.integers(0, 256, size=(6, 8, 3), dtype=np.uint8)
+              for _ in range(7)]
+    anim = _anim_container([_vp8l_payload(f) for f in frames], 8, 6)
+    got = webp.decode_webp_frames(anim)
+    assert len(got) == 7
+    for a, b in zip(got, frames):
+        np.testing.assert_array_equal(a, b)
+    # decode_image = first frame, the GIF contract
+    np.testing.assert_array_equal(multimodal.decode_image(anim),
+                                  frames[0])
+    # partial-canvas frames stay honestly gated
+    with pytest.raises(NotImplementedError):
+        webp.decode_webp_frames(_anim_container(
+            [_vp8l_payload(frames[0])], 8, 6, offsets=[(2, 0)]))
+    # FrameSampler: real evenly-spaced frames (0, 2, 4, 6 of 7)
+    import hashlib as _h
+    t = pa.table({"url": pa.array(["a"]),
+                  "html": pa.array([anim], pa.binary())})
+    out = multimodal.FrameSampler(max_frames=4)(t)
+    assert out["frame_idx"].to_pylist() == [0, 2, 4, 6]
+    want = [_h.sha1(multimodal.to_gray(frames[i]).tobytes()).hexdigest()
+            for i in (0, 2, 4, 6)]
+    assert out["frame_sha1"].to_pylist() == want
