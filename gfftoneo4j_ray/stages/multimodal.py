@@ -391,7 +391,9 @@ def _decode_gif(p: bytes) -> np.ndarray:
                 deint[row0::step] = frame[r:r + n]
                 r += n
             frame = deint
-        bg_rgb = ct[bg] if (gct is not None and bg < len(gct)) else \
+        # the background index refers to the GLOBAL color table even
+        # when the frame maps through a local one
+        bg_rgb = gct[bg] if (gct is not None and bg < len(gct)) else \
             np.zeros(3, np.uint8)
         canvas = np.broadcast_to(bg_rgb, (h, w, 3)).copy()
         rgb = ct[frame]

@@ -693,3 +693,19 @@ def test_audio_featurizer_mp3_metadata_path():
     assert out["sample_rate"].to_pylist() == [44100, 0]
     assert out["n_samples"].to_pylist()[0] == 6 * 1152
     assert out["n_frames"].to_pylist() == [0, 0]  # PCM decode stays gated
+
+
+def test_decode_gif_background_uses_global_table(gif_case):
+    idx, palette = gif_case
+    # global AND local tables: the bg index (5) resolves in the GLOBAL
+    # one even though the frame's pixels map through the local table
+    lct = palette[::-1].copy()
+    p = bytearray(_gif_bytes(idx, lct, left=2, top=1, screen=(14, 16),
+                             bg=5, local_ct=True))
+    # splice a global color table into the header by setting the GCT
+    # flag and inserting palette bytes after the logical screen desc
+    p[10] |= 0x80 | 0x03  # GCT present, 16 entries
+    p[13:13] = palette.astype(np.uint8).tobytes()
+    out = multimodal.decode_image(bytes(p))
+    np.testing.assert_array_equal(out[0, 0], palette[5])
+    np.testing.assert_array_equal(out[1:1 + 13, 2:2 + 9], lct[idx])
