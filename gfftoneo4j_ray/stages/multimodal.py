@@ -7,7 +7,8 @@ for PPM/PGM (netpbm P6/P5), 24-bit uncompressed BMP, 8-bit PNG
 (sequential or Adam7; stdlib zlib inflate + numpy unfilter), and
 baseline + progressive JPEG (:mod:`.jpeg`), GIF87a/89a first
 frames (stdlib-loop LZW), and lossless WebP (VP8L, :mod:`.webp`) —
-see :func:`decode_image` — plus RIFF/WAVE PCM audio
+see :func:`decode_image` — plus RIFF/WAVE audio (integer/float
+PCM, G.711 A-law/μ-law, EXTENSIBLE)
 (:func:`decode_wav`), YUV4MPEG2 video frames (:func:`decode_y4m`)
 and MP3 frame-header metadata (:func:`mp3_metadata`); the remaining
 formats (lossy-VP8 WebP, MP3 PCM decode, …) stay gated behind an
@@ -669,41 +670,92 @@ class ImageResizer:
         })
 
 
+def _g711_tables() -> tuple[np.ndarray, np.ndarray]:
+    """256-entry μ-law / A-law → int16 decode LUTs (ITU-T G.711),
+    built vectorized over all byte values at first use."""
+    b = np.arange(256, dtype=np.int32)
+    # μ-law: complement, then exponent/mantissa expansion around the
+    # +33 (0x84 = 33<<2) bias folded into the segment offset
+    u = ~b & 0xFF
+    mag_u = (((u & 0x0F) << 3 | 0x84) << ((u >> 4) & 7)) - 0x84
+    ulaw = np.where(u & 0x80, -mag_u, mag_u).astype(np.int16)
+    # A-law: XOR 0x55, exponent 0 is linear, others shift a 0x108-based
+    # chord; sign bit SET means positive
+    a = b ^ 0x55
+    e, m = (a >> 4) & 7, a & 0x0F
+    mag_a = np.where(e == 0, (m << 4) | 8, ((m << 4) | 0x108) << (e - 1))
+    alaw = np.where(a & 0x80, mag_a, -mag_a).astype(np.int16)
+    return ulaw, alaw
+
+
+_G711_LUT: tuple[np.ndarray, np.ndarray] | None = None
+
+
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
-    """REAL pure-numpy decode of RIFF/WAVE PCM payloads → (samples,
-    sample_rate). Supports the uncompressed classics: 8-bit unsigned
-    and 16/32-bit signed little-endian PCM (format tag 1), any channel
-    count (returned as (n, channels) for multi-channel, (n,) for
-    mono). Compressed codecs (mp3/aac/…) need a library absent here
-    and raise ``NotImplementedError``."""
+    """REAL pure-numpy decode of RIFF/WAVE payloads → (samples,
+    sample_rate). Supports the real-web WAV matrix: 8-bit unsigned /
+    16/24/32-bit signed little-endian PCM (format tag 1), IEEE float32/
+    float64 (tag 3), G.711 A-law / μ-law (tags 6/7, LUT-decoded to
+    int16), and WAVE_FORMAT_EXTENSIBLE (tag 0xFFFE — the actual tag is
+    lifted from the SubFormat GUID), any channel count (returned as
+    (n, channels) for multi-channel, (n,) for mono). Compressed codecs
+    (mp3/aac/…) need a library absent here and raise
+    ``NotImplementedError``."""
     p = payload or b""
     if p[:4] != b"RIFF" or p[8:12] != b"WAVE":
         raise NotImplementedError(
             "compressed-audio decode requires a codec library (not in "
             "this container); RIFF/WAVE PCM decodes natively")
     # walk chunks: fmt then data (spec order not guaranteed)
-    i, fmt, data = 12, None, None
+    i, fmt, ext_tag, data = 12, None, None, None
     while i + 8 <= len(p):
         cid, sz = p[i:i + 4], struct.unpack_from("<I", p, i + 4)[0]
         body = p[i + 8:i + 8 + sz]
         if cid == b"fmt ":
             fmt = struct.unpack_from("<HHIIHH", body, 0)
+            if fmt[0] == 0xFFFE and sz >= 40:
+                # EXTENSIBLE: cbSize(2) valid-bits(2) mask(4) then the
+                # SubFormat GUID, whose first two LE bytes are the tag
+                ext_tag = struct.unpack_from("<H", body, 24)[0]
         elif cid == b"data":
             data = body
         i += 8 + sz + (sz & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("truncated WAV: missing fmt/data chunk")
     tag, n_ch, rate, _, _, bits = fmt
-    if tag != 1:
-        raise ValueError(f"only PCM WAV supported (format tag {tag})")
-    if bits == 8:
-        x = np.frombuffer(data, np.uint8).astype(np.int16) - 128
-    elif bits == 16:
-        x = np.frombuffer(data, np.dtype("<i2"))
-    elif bits == 32:
-        x = np.frombuffer(data, np.dtype("<i4"))
+    if tag == 0xFFFE:
+        if ext_tag is None:
+            raise ValueError("EXTENSIBLE WAV with truncated fmt chunk")
+        tag = ext_tag
+    if tag == 1:  # integer PCM
+        if bits == 8:
+            x = np.frombuffer(data, np.uint8).astype(np.int16) - 128
+        elif bits == 16:
+            x = np.frombuffer(data, np.dtype("<i2"))
+        elif bits == 24:
+            raw = np.frombuffer(data, np.uint8)
+            raw = raw[:(len(raw) // 3) * 3].reshape(-1, 3).astype(np.int32)
+            x = raw[:, 0] | (raw[:, 1] << 8) | (raw[:, 2] << 16)
+            x -= (x & 0x800000) << 1  # sign-extend bit 23
+        elif bits == 32:
+            x = np.frombuffer(data, np.dtype("<i4"))
+        else:
+            raise ValueError(f"unsupported PCM width {bits}")
+    elif tag == 3:  # IEEE float PCM
+        if bits == 32:
+            x = np.frombuffer(data, np.dtype("<f4"))
+        elif bits == 64:
+            x = np.frombuffer(data, np.dtype("<f8"))
+        else:
+            raise ValueError(f"unsupported float width {bits}")
+    elif tag in (6, 7):  # G.711 A-law / μ-law, always 8-bit bytes
+        global _G711_LUT
+        if _G711_LUT is None:
+            _G711_LUT = _g711_tables()
+        lut = _G711_LUT[0] if tag == 7 else _G711_LUT[1]
+        x = lut[np.frombuffer(data, np.uint8)]
     else:
-        raise ValueError(f"unsupported PCM width {bits}")
+        raise ValueError(f"unsupported WAV format tag {tag}")
     if n_ch > 1:
         x = x[:(len(x) // n_ch) * n_ch].reshape(-1, n_ch)
     return x, rate

@@ -179,16 +179,18 @@ def test_image_resizer_native_decode_path(ray_session, rgb_img):
     np.testing.assert_array_equal(np.array(out.loc["html", "pixels"]), fake)
 
 
-def _wav_bytes(samples, rate=8000, bits=16, n_ch=1):
+def _wav_bytes(samples, rate=8000, bits=16, n_ch=1, tag=1, raw=None):
     import struct
 
-    if bits == 8:
+    if raw is not None:
+        data = raw
+    elif bits == 8:
         data = (np.asarray(samples) + 128).astype(np.uint8).tobytes()
     elif bits == 16:
         data = np.asarray(samples, dtype="<i2").tobytes()
     else:
         data = np.asarray(samples, dtype="<i4").tobytes()
-    fmt = struct.pack("<HHIIHH", 1, n_ch, rate,
+    fmt = struct.pack("<HHIIHH", tag, n_ch, rate,
                       rate * n_ch * bits // 8, n_ch * bits // 8, bits)
     body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt \
         + b"data" + struct.pack("<I", len(data)) + data
@@ -208,6 +210,53 @@ def test_decode_wav_real_roundtrip():
     # 8-bit path
     b8 = multimodal.decode_wav(_wav_bytes(np.array([0, 127, -128]), bits=8))
     np.testing.assert_array_equal(b8[0], [0, 127, -128])
+
+
+@pytest.mark.filterwarnings("ignore::DeprecationWarning")
+def test_decode_wav_g711_matches_audioop():
+    # every possible companded byte, decoded against the independent
+    # stdlib G.711 implementation
+    import audioop  # deprecated but present on 3.11 — oracle only
+
+    allb = bytes(range(256))
+    for tag, ref_fn in ((7, audioop.ulaw2lin), (6, audioop.alaw2lin)):
+        got, rate = multimodal.decode_wav(
+            _wav_bytes(None, bits=8, tag=tag, raw=allb))
+        ref = np.frombuffer(ref_fn(allb, 2), "<i2")
+        np.testing.assert_array_equal(got, ref)
+        assert rate == 8000
+    # stereo μ-law reshapes like PCM does
+    st, _ = multimodal.decode_wav(
+        _wav_bytes(None, bits=8, tag=7, n_ch=2, raw=allb))
+    assert st.shape == (128, 2)
+
+
+def test_decode_wav_24bit_float_and_extensible():
+    import struct
+
+    # 24-bit PCM: sign extension across the full range
+    vals = np.array([0, 1, -1, 8388607, -8388608, 70000, -70000],
+                    np.int32)
+    raw = b"".join(struct.pack("<i", v)[:3] for v in vals)
+    got, _ = multimodal.decode_wav(_wav_bytes(None, bits=24, raw=raw))
+    np.testing.assert_array_equal(got, vals)
+    # IEEE float32 (tag 3) keeps float values exactly
+    f = np.array([0.0, 0.5, -1.0, 0.25], "<f4")
+    gf, _ = multimodal.decode_wav(
+        _wav_bytes(None, bits=32, tag=3, raw=f.tobytes()))
+    np.testing.assert_array_equal(gf, f)
+    # EXTENSIBLE wrapper around 16-bit PCM: tag 0xFFFE + SubFormat GUID
+    x = np.array([3, -7, 12000, -32768], "<i2")
+    fmt = struct.pack("<HHIIHH", 0xFFFE, 1, 8000, 16000, 2, 16) \
+        + struct.pack("<HHI", 22, 16, 0x3) \
+        + struct.pack("<H", 1) + b"\x00\x00" \
+        + b"\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
+    data = x.tobytes()
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt \
+        + b"data" + struct.pack("<I", len(data)) + data
+    ge, _ = multimodal.decode_wav(
+        b"RIFF" + struct.pack("<I", len(body)) + body)
+    np.testing.assert_array_equal(ge, x)
 
 
 def test_decode_wav_rejects_non_pcm():
