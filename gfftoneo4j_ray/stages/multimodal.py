@@ -690,13 +690,83 @@ def _g711_tables() -> tuple[np.ndarray, np.ndarray]:
 
 _G711_LUT: tuple[np.ndarray, np.ndarray] | None = None
 
+# IMA/DVI ADPCM step + index-adjust tables (IMA ADPCM spec / RFC 3551
+# §4.5.1 lineage; identical core to stdlib audioop's DVI variant)
+_IMA_STEPS = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+    37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767)
+_IMA_INDEX = (-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
+
+
+def _ima_decode(nibbles: np.ndarray, pred: int, idx: int) -> np.ndarray:
+    """Decode a nibble stream with IMA ADPCM from (pred, idx) state.
+    Sequential per-sample loop — each step depends on the previous
+    predictor/index, the same honest sandbox trade-off as the PNG
+    Paeth filter loop."""
+    out = np.empty(len(nibbles), np.int16)
+    for i, d in enumerate(nibbles):
+        step = _IMA_STEPS[idx]
+        diff = step >> 3
+        if d & 4:
+            diff += step
+        if d & 2:
+            diff += step >> 1
+        if d & 1:
+            diff += step >> 2
+        pred = pred - diff if d & 8 else pred + diff
+        pred = max(-32768, min(32767, pred))
+        out[i] = pred
+        idx = max(0, min(88, idx + _IMA_INDEX[d]))
+    return out
+
+
+def _decode_ima_wav(data: bytes, n_ch: int, block_align: int) -> np.ndarray:
+    """IMA ADPCM WAV (format tag 0x11): per-block, per-channel 4-byte
+    headers (int16 initial sample, uint8 step index, pad) followed by
+    low-nibble-first data, stereo interleaved in 4-byte channel
+    chunks. Returns int16 (n,) mono or (n, n_ch)."""
+    if block_align < 4 * n_ch:
+        raise ValueError("IMA ADPCM block smaller than its headers")
+    chans: list[list[np.ndarray]] = [[] for _ in range(n_ch)]
+    for off in range(0, len(data) - 4 * n_ch + 1, block_align):
+        block = data[off:off + block_align]
+        states = []
+        for c in range(n_ch):
+            pred, idx = struct.unpack_from("<hB", block, 4 * c)[:2]
+            if idx > 88:
+                raise ValueError(f"bad IMA step index {idx}")
+            states.append((pred, idx))
+            chans[c].append(np.array([pred], np.int16))
+        body = np.frombuffer(block, np.uint8, offset=4 * n_ch)
+        nib = np.empty(2 * len(body), np.uint8)
+        nib[0::2] = body & 0x0F  # low nibble first (WAV layout)
+        nib[1::2] = body >> 4
+        if n_ch == 1:
+            chans[0].append(_ima_decode(nib, *states[0]))
+        else:
+            # stereo: alternating 4-byte (8-nibble) chunks per channel
+            grp = nib[:(len(nib) // (8 * n_ch)) * 8 * n_ch]
+            grp = grp.reshape(-1, n_ch, 8)
+            for c in range(n_ch):
+                chans[c].append(
+                    _ima_decode(grp[:, c, :].reshape(-1), *states[c]))
+    cols = [np.concatenate(ch) for ch in chans]
+    return cols[0] if n_ch == 1 else np.stack(cols, axis=1)
+
 
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     """REAL pure-numpy decode of RIFF/WAVE payloads → (samples,
     sample_rate). Supports the real-web WAV matrix: 8-bit unsigned /
     16/24/32-bit signed little-endian PCM (format tag 1), IEEE float32/
     float64 (tag 3), G.711 A-law / μ-law (tags 6/7, LUT-decoded to
-    int16), and WAVE_FORMAT_EXTENSIBLE (tag 0xFFFE — the actual tag is
+    int16), IMA ADPCM (tag 0x11, per-block headers + nibble stream),
+    and WAVE_FORMAT_EXTENSIBLE (tag 0xFFFE — the actual tag is
     lifted from the SubFormat GUID), any channel count (returned as
     (n, channels) for multi-channel, (n,) for mono). Compressed codecs
     (mp3/aac/…) need a library absent here and raise
@@ -722,7 +792,7 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         i += 8 + sz + (sz & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("truncated WAV: missing fmt/data chunk")
-    tag, n_ch, rate, _, _, bits = fmt
+    tag, n_ch, rate, _, block_align, bits = fmt
     if tag == 0xFFFE:
         if ext_tag is None:
             raise ValueError("EXTENSIBLE WAV with truncated fmt chunk")
@@ -754,6 +824,8 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
             _G711_LUT = _g711_tables()
         lut = _G711_LUT[0] if tag == 7 else _G711_LUT[1]
         x = lut[np.frombuffer(data, np.uint8)]
+    elif tag == 0x11:  # IMA ADPCM (blocks carry their own headers)
+        return _decode_ima_wav(data, n_ch, block_align), rate
     else:
         raise ValueError(f"unsupported WAV format tag {tag}")
     if n_ch > 1:

@@ -231,6 +231,53 @@ def test_decode_wav_g711_matches_audioop():
     assert st.shape == (128, 2)
 
 
+@pytest.mark.filterwarnings("ignore::DeprecationWarning")
+def test_decode_wav_ima_adpcm_matches_audioop():
+    # mono IMA ADPCM: one WAV block (header pred/index + low-nibble-
+    # first data) must equal stdlib audioop's DVI decode of the same
+    # nibble stream (audioop reads high nibble first → swap) seeded
+    # with the header state
+    import audioop
+    import struct
+
+    rng = np.random.default_rng(7)
+    body = rng.integers(0, 256, 64, dtype=np.uint8)
+    pred0, idx0 = -1234, 17
+    block = struct.pack("<hBB", pred0, idx0, 0) + body.tobytes()
+    fmt = struct.pack("<HHIIHH", 0x11, 1, 8000, 4055, len(block), 4) \
+        + struct.pack("<HH", 2, 1 + len(body) * 2)
+    wav_body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt \
+        + b"data" + struct.pack("<I", len(block)) + block
+    got, rate = multimodal.decode_wav(
+        b"RIFF" + struct.pack("<I", len(wav_body)) + wav_body)
+    assert rate == 8000 and got[0] == pred0
+    swapped = ((body << 4) | (body >> 4)).astype(np.uint8).tobytes()
+    ref, _ = audioop.adpcm2lin(swapped, 2, (pred0, idx0))
+    np.testing.assert_array_equal(got[1:], np.frombuffer(ref, "<i2"))
+    # stereo: per-channel headers + alternating 4-byte chunks; each
+    # channel must match an independent mono decode of its own lane
+    b2 = rng.integers(0, 256, 64, dtype=np.uint8)
+    blk2 = struct.pack("<hBB", 500, 3, 0) + struct.pack(
+        "<hBB", -500, 30, 0) + np.stack(
+        [body[:32], b2[:32]], 1).reshape(-1, 4, 2).transpose(
+        0, 2, 1).reshape(-1).tobytes()
+    fmt2 = struct.pack("<HHIIHH", 0x11, 2, 8000, 8110, len(blk2), 4) \
+        + struct.pack("<HH", 2, 1 + 32 * 2)
+    body2 = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt2)) + fmt2 \
+        + b"data" + struct.pack("<I", len(blk2)) + blk2
+    st, _ = multimodal.decode_wav(
+        b"RIFF" + struct.pack("<I", len(body2)) + body2)
+    assert st.shape == (65, 2)
+    nib0 = np.empty(64, np.uint8)
+    nib0[0::2], nib0[1::2] = body[:32] & 0xF, body[:32] >> 4
+    np.testing.assert_array_equal(
+        st[1:, 0], multimodal._ima_decode(nib0, 500, 3))
+    nib1 = np.empty(64, np.uint8)
+    nib1[0::2], nib1[1::2] = b2[:32] & 0xF, b2[:32] >> 4
+    np.testing.assert_array_equal(
+        st[1:, 1], multimodal._ima_decode(nib1, -500, 30))
+
+
 def test_decode_wav_24bit_float_and_extensible():
     import struct
 
