@@ -383,6 +383,16 @@ def q_dedup_exact(sf_dir: str):
     return dedup.exact_dedup(_docs(sf_dir))
 
 
+def q_substring_dedup(sf_dir: str):
+    """Exact substring dedup (Lee et al. 2021 ExactSubstr over
+    whitespace tokens): tokens covered by any 5-token span occurring in
+    >1 distinct document are removed everywhere; survivors re-joined
+    with single spaces. window=5 on the synthetic vocabulary yields a
+    non-degenerate mix of planted spans and birthday collisions (~9%
+    of tokens removed across ~70 docs at sf0.01)."""
+    return dedup.substring_dedup(_docs(sf_dir), window=5)
+
+
 def q_ngram_jaccard(sf_dir: str):
     return dedup.ngram_jaccard_pairs(_docs(sf_dir), max_doc_id=120)
 
@@ -530,6 +540,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_corpus_prep": q_corpus_prep,  # line_dedup+contam+pack+mixture
         "q_doc_signatures": q_doc_signatures,  # langid+fp+simhash+stats
         "q_dedup_exact": q_dedup_exact,
+        "q_substring_dedup": q_substring_dedup,  # ExactSubstr, full SQL
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_simhash_neardup": q_simhash_neardup,  # golden self-join oracle
         "q_minhash_neardup": q_minhash_neardup,  # exact-shingle-Jaccard SQL
@@ -1046,6 +1057,58 @@ def oracle_sql() -> dict[str, str]:
         "q_dedup_exact": r"""
             SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dups
             FROM documents GROUP BY text
+        """,
+        "q_substring_dedup": r"""
+            -- ExactSubstr dedup, window=5: ban 5-token grams seen in
+            -- >1 distinct doc, drop covered tokens, re-join survivors.
+            -- Grams compared by exact STRING here (the engine groups
+            -- by 64-bit positional hash) — a hash-free second opinion.
+            WITH arrs AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(text, '\s+'),
+                                   x -> x <> '') AS arr
+                FROM documents
+            ),
+            toks AS (
+                SELECT doc_id, unnest(arr) AS tok,
+                       unnest(range(0, len(arr))) AS pos
+                FROM arrs
+            ),
+            grams AS (
+                SELECT doc_id, pos AS start,
+                       string_agg(tok, ' ') OVER w AS gram,
+                       count(*) OVER w AS glen
+                FROM toks
+                WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING)
+            ),
+            full_grams AS (
+                SELECT doc_id, start, gram FROM grams WHERE glen = 5
+            ),
+            dup AS (
+                SELECT gram FROM full_grams
+                GROUP BY gram HAVING count(DISTINCT doc_id) > 1
+            ),
+            covered AS (
+                SELECT DISTINCT fg.doc_id, fg.start + s.i AS pos
+                FROM full_grams fg JOIN dup USING (gram),
+                     LATERAL (SELECT unnest(range(0, 5)) AS i) s
+            ),
+            kept AS (
+                SELECT t.doc_id, t.tok, t.pos
+                FROM toks t
+                LEFT JOIN covered c
+                  ON t.doc_id = c.doc_id AND t.pos = c.pos
+                WHERE c.doc_id IS NULL
+            ),
+            totals AS (
+                SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id
+            )
+            SELECT k.doc_id,
+                   string_agg(k.tok, ' ' ORDER BY k.pos) AS text,
+                   any_value(tt.n) - count(*) AS n_removed
+            FROM kept k JOIN totals tt USING (doc_id)
+            GROUP BY k.doc_id
         """,
         "q_ngram_jaccard": r"""
             WITH tok AS (

@@ -344,7 +344,8 @@ def run_bench() -> dict:
     qnames = [] if os.environ.get("BENCH_SKIP_QUERIES") else [
         "q_lineitem_agg", "q_filter_project", "q_two_level_rollup",
         "q_window_agg", "q_adjacent_pairs", "q_dedup_exact",
-        "q_corpus_prep", "q_minhash_neardup", "q_ann_topk",
+        "q_corpus_prep", "q_substring_dedup", "q_minhash_neardup",
+        "q_ann_topk",
         "q_doc_signatures",
         "q_heavy_hitters", "q_tfidf", "q_dsir_select", "q_quality_filter",
         "q_count_distinct"]

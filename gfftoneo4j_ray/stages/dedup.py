@@ -1273,3 +1273,266 @@ def _normalize_rows(m: np.ndarray) -> np.ndarray:
     n = np.linalg.norm(m, axis=1, keepdims=True)
     n[n == 0] = 1.0
     return m / n
+
+
+# ---------------------------------------------------------------------------
+# Exact substring (duplicated-span) dedup
+# ---------------------------------------------------------------------------
+
+# odd multiplier (FNV-1a 64-bit prime) — Horner-combining per-token
+# siphashes positionally; odd → bijective mod 2^64, so windows that
+# differ in any token position collide only at generic 64-bit rate
+_GRAM_R = np.uint64(0x100000001B3)
+
+_SD_EMPTY = pa.schema([("gram_hash", pa.int64())])
+
+
+def _split_tokens(t: pa.Table, id_col: str, text_col: str):
+    """batch → (per-row int64 doc ids, flat non-empty whitespace tokens
+    StringArray, per-token uint64 siphash, per-row token counts).
+    Tokenization contract is Python ``str.split()`` (runs of Unicode
+    whitespace, no empty tokens) — Arrow's split_whitespace emits edge
+    empties, filtered here so the SQL oracle's ``regexp_split_to_array
+    + list_filter`` sees the identical token stream."""
+    from ..functions.hashing import stable_hash64
+
+    ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64,
+                                                          copy=False)
+    texts = pc.fill_null(t[text_col], "")
+    split = pc.utf8_split_whitespace(texts)
+    flat = pc.list_flatten(split)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    n_raw = pc.list_value_length(split).to_numpy().astype(np.int64,
+                                                          copy=False)
+    row_flat = np.repeat(np.arange(ids.size, dtype=np.int64), n_raw)
+    nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    if not nonempty.all():
+        flat = flat.filter(pa.array(nonempty))
+        row_flat = row_flat[nonempty]
+    n_tok = np.bincount(row_flat, minlength=ids.size).astype(np.int64)
+    tokh = stable_hash64(flat.to_pylist()) if len(flat) \
+        else np.empty(0, np.uint64)
+    return ids, flat, tokh, n_tok
+
+
+def _gram_hashes(tokh: np.ndarray, n_tok: np.ndarray, window: int):
+    """Flat token hashes + per-row counts → (uint64 gram hash per valid
+    window start, flat start indices of the valid windows). A window is
+    valid iff it lies entirely inside one row's token run."""
+    total = int(tokh.size)
+    if total < window:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    m = total - window + 1
+    gh = tokh[:m].copy()
+    for k in range(1, window):
+        gh = gh * _GRAM_R + tokh[k:k + m]
+    offsets = np.cumsum(n_tok) - n_tok
+    pos_in_row = np.arange(total, dtype=np.int64) - np.repeat(offsets,
+                                                              n_tok)
+    fits = pos_in_row[:m] + window <= np.repeat(n_tok, n_tok)[:m]
+    starts = np.flatnonzero(fits)
+    return gh[starts], starts
+
+
+def banned_gram_hashes(docs_ds, window: int = 50, max_doc_freq: int = 1,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       num_buckets: int = 32):
+    """Count pass: the set of ``window``-token gram hashes that occur
+    in MORE than ``max_doc_freq`` distinct documents, as a materialized
+    (gram_hash int64) Dataset. Same exchange discipline as
+    :func:`banned_line_hashes` — per-doc distinct stamped in the task
+    holding whole documents, per-batch partial counts (16 B/row), one
+    bucketed reduce. Document text never rides the exchange."""
+    from ..ops.exchange import bucketed_map_groups
+    from ..ops.hashagg import append_bucket
+
+    def partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return append_bucket(
+                pa.table({"gram_hash": pa.array([], pa.int64()),
+                          "cnt": pa.array([], pa.int64())}),
+                ["gram_hash"], num_buckets)
+        ids, _, tokh, n_tok = _split_tokens(t, id_col, text_col)
+        gh, starts = _gram_hashes(tokh, n_tok, window)
+        offsets = np.cumsum(n_tok) - n_tok
+        doc_of = ids[np.searchsorted(offsets, starts, side="right") - 1]
+        order = np.lexsort((gh, doc_of))
+        d, hh = doc_of[order], gh[order]
+        first = np.r_[True, (d[1:] != d[:-1]) | (hh[1:] != hh[:-1])]
+        uh, cnt = np.unique(hh[first], return_counts=True)
+        return append_bucket(
+            pa.table({"gram_hash": pa.array(uh.view(np.int64), pa.int64()),
+                      "cnt": pa.array(cnt, pa.int64())}),
+            ["gram_hash"], num_buckets)
+
+    def reduce_banned(g: pa.Table) -> pa.Table:
+        agg = g.group_by(["gram_hash"]).aggregate([("cnt", "sum")])
+        kept = agg.filter(pc.greater(
+            agg["cnt_sum"], pa.scalar(max_doc_freq, pa.int64())))
+        return kept.select(["gram_hash"])
+
+    return bucketed_map_groups(
+        docs_ds.map_batches(partials, batch_format="pyarrow"),
+        num_buckets, reduce_banned).materialize()
+
+
+def _rewrite_rows(ids: np.ndarray, flat, n_tok: np.ndarray,
+                  hit_starts: np.ndarray, window: int, id_col: str,
+                  text_col: str) -> pa.Table:
+    """Shared rewrite kernel: drop every token covered by a banned
+    window start (flat indices), re-join survivors with a single space,
+    count removals. Docs with zero surviving tokens disappear (the
+    line_dedup convention). The diff-array cover never crosses a row:
+    valid windows fit inside their row by construction."""
+    total = int(n_tok.sum())
+    out_schema = pa.schema([(id_col, pa.int64()), (text_col, pa.string()),
+                            ("n_removed", pa.int64())])
+    if total == 0:
+        return out_schema.empty_table()
+    cover = np.zeros(total + 1, np.int64)
+    np.add.at(cover, hit_starts, 1)
+    np.add.at(cover, hit_starts + window, -1)
+    keep = np.cumsum(cover[:total]) == 0
+    row_flat = np.repeat(np.arange(ids.size, dtype=np.int64), n_tok)
+    kept_per_row = np.bincount(row_flat[keep], minlength=ids.size)
+    flat_kept = flat.filter(pa.array(keep)) if not keep.all() else flat
+    offsets = np.zeros(ids.size + 1, np.int64)
+    np.cumsum(kept_per_row, out=offsets[1:])
+    la = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                  flat_kept)
+    joined = pc.binary_join(la, " ")
+    tbl = pa.table({id_col: pa.array(ids, pa.int64()),
+                    text_col: joined,
+                    "n_removed": pa.array(n_tok - kept_per_row,
+                                          pa.int64())})
+    return tbl.filter(pa.array(kept_per_row > 0))
+
+
+def make_substring_rewrite(banned_ref, window: int = 50,
+                           text_col: str = "text",
+                           id_col: str = "doc_id"):
+    """Broadcast-path rewrite kernel: recompute gram hashes per batch,
+    searchsorted-probe the sorted banned array (``ray.put`` once,
+    worker-cached), cover + reassemble map-side. Composable into fused
+    corpus scans like :func:`make_line_dedup_rewrite`."""
+    def rewrite(t: pa.Table) -> pa.Table:
+        ids, flat, tokh, n_tok = _split_tokens(t, id_col, text_col)
+        ban = _cached_get(banned_ref)
+        gh, starts = _gram_hashes(tokh, n_tok, window)
+        if ban.size and gh.size:
+            pos = np.searchsorted(ban, gh.view(np.int64))
+            hit = ban[np.minimum(pos, ban.size - 1)] == gh.view(np.int64)
+            hit_starts = starts[hit]
+        else:
+            hit_starts = np.empty(0, np.int64)
+        return _rewrite_rows(ids, flat, n_tok, hit_starts, window,
+                             id_col, text_col)
+
+    return rewrite
+
+
+def substring_dedup(docs_ds, window: int = 50, max_doc_freq: int = 1,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    num_buckets: int = 32,
+                    max_broadcast_banned: int = 4_000_000):
+    """Exact substring dedup (Lee et al. 2021, "Deduplicating Training
+    Data Makes Language Models Better", arXiv:2107.06499 — the
+    ExactSubstr policy, here over whitespace tokens): every token
+    covered by ANY ``window``-token span whose exact content occurs in
+    more than ``max_doc_freq`` distinct documents is removed from ALL
+    of them, and each document's surviving tokens are re-joined with a
+    single space. Returns (doc_id, text, n_removed); documents whose
+    every token is removed disappear. The paper's suffix array is a
+    single-machine structure; the distributed equivalent groups the
+    corpus's W-token windows by content — equality established by a
+    64-bit positional hash of per-token siphashes (generic 2^-64
+    false-merge rate; the oracle re-checks by exact string at test
+    scale).
+
+    Two-pass layout mirroring :func:`line_dedup` — text never rides an
+    exchange on the common path:
+
+      1. count pass (:func:`banned_gram_hashes`): slim (hash, cnt)
+         partials → one bucketed reduce → the banned gram table.
+      2. rewrite, banned-side-adaptive:
+         * banned rows ≤ ``max_broadcast_banned``: sorted array
+           ``ray.put`` once; every task re-hashes and rewrites its own
+           whole documents map-side. ZERO text exchanges.
+         * above the bound (web scale — Lee et al. measure ~1% of
+           50-grams duplicated at corpus size): slim
+           (gram_hash, doc_id, start) rows semi-join the banned table,
+           and the (doc_id, start) hits meet their documents in ONE
+           doc-bucketed exchange that runs the same rewrite kernel.
+    """
+    import ray
+
+    from ..ops.exchange import bucketed_map_groups
+    from ..ops.hashagg import append_bucket
+    from ..ops.join import hash_join
+
+    banned_ds = banned_gram_hashes(docs_ds, window, max_doc_freq,
+                                   text_col, id_col, num_buckets)
+    n_banned = banned_ds.count()
+
+    if n_banned <= max_broadcast_banned:
+        banned_ref = ray.put(np.sort(np.concatenate(
+            [r["gram_hash"].to_numpy(zero_copy_only=False)
+             for r in (ray.get(b) for b in banned_ds.to_arrow_refs())]
+            or [np.empty(0, np.int64)])))
+        return docs_ds.map_batches(
+            make_substring_rewrite(banned_ref, window, text_col, id_col),
+            batch_format="pyarrow")
+
+    # banned table too large to broadcast: hits via semi join, then one
+    # doc-bucketed exchange co-locating each doc with its hit starts
+    def gram_rows(t: pa.Table) -> pa.Table:
+        ids, _, tokh, n_tok = _split_tokens(t, id_col, text_col)
+        gh, starts = _gram_hashes(tokh, n_tok, window)
+        offsets = np.cumsum(n_tok) - n_tok
+        row_of = np.searchsorted(offsets, starts, side="right") - 1
+        return pa.table({
+            "gram_hash": pa.array(gh.view(np.int64), pa.int64()),
+            id_col: pa.array(ids[row_of], pa.int64()),
+            "start": pa.array(starts - offsets[row_of], pa.int64())})
+
+    hits = hash_join(
+        docs_ds.map_batches(gram_rows, batch_format="pyarrow"),
+        banned_ds, on="gram_hash", how="semi", num_buckets=num_buckets,
+        left_schema=pa.schema([("gram_hash", pa.int64()),
+                               (id_col, pa.int64()),
+                               ("start", pa.int64())]),
+        right_schema=_SD_EMPTY)
+
+    def tag_docs(t: pa.Table) -> pa.Table:
+        tagged = pa.table({
+            id_col: t[id_col].cast(pa.int64()),
+            text_col: pc.fill_null(t[text_col], ""),
+            "start": pa.nulls(t.num_rows, pa.int64())})
+        return append_bucket(tagged, [id_col], num_buckets)
+
+    def tag_hits(t: pa.Table) -> pa.Table:
+        tagged = pa.table({
+            id_col: t[id_col],
+            text_col: pa.nulls(t.num_rows, pa.string()),
+            "start": t["start"]})
+        return append_bucket(tagged, [id_col], num_buckets)
+
+    def rewrite_bucket(g: pa.Table) -> pa.Table:
+        doc_mask = pc.is_valid(g[text_col])
+        docs = g.filter(doc_mask)
+        hit = g.filter(pc.invert(doc_mask))
+        ids, flat, _, n_tok = _split_tokens(docs, id_col, text_col)
+        order = np.argsort(ids, kind="stable")
+        hid = hit[id_col].to_numpy(zero_copy_only=False)
+        hstart = hit["start"].to_numpy(zero_copy_only=False)
+        row_of = order[np.searchsorted(ids[order], hid)] \
+            if hid.size else np.empty(0, np.int64)
+        offsets = np.cumsum(n_tok) - n_tok
+        return _rewrite_rows(ids, flat, n_tok,
+                             offsets[row_of] + hstart, window,
+                             id_col, text_col)
+
+    both = docs_ds.map_batches(tag_docs, batch_format="pyarrow").union(
+        hits.map_batches(tag_hits, batch_format="pyarrow"))
+    return bucketed_map_groups(both, num_buckets, rewrite_bucket)
