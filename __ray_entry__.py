@@ -536,6 +536,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_dsir_select": A.q_dsir_select,  # importance resampling
         "q_redact": A.q_redact,
         "q_quality_filter": A.q_quality_filter,
+        "q_repetition_filter": A.q_repetition_filter,  # Gopher n-gram gates
         # text analysis / dedup / similarity (training-data ops)
         "q_corpus_prep": q_corpus_prep,  # line_dedup+contam+pack+mixture
         "q_doc_signatures": q_doc_signatures,  # langid+fp+simhash+stats
@@ -949,6 +950,58 @@ def oracle_sql() -> dict[str, str]:
             )
             WHERE n_tokens >= 20 AND mean_tok_c BETWEEN 250 AND 800
               AND alpha_c >= 5500
+        """,
+        "q_repetition_filter": r"""
+            WITH base AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '[a-z0-9_''-]+') AS w
+                FROM documents
+            ),
+            stats AS (
+                SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+                       CAST(COALESCE(list_sum(
+                           list_transform(w, x -> length(x))), 0) AS BIGINT)
+                           AS total_chars,
+                       w
+                FROM base
+            ),
+            g2 AS (
+                SELECT doc_id,
+                       unnest([w[i] || ' ' || w[i+1]
+                               for i in generate_series(1, len(w)-1)]) AS g
+                FROM stats WHERE len(w) >= 2
+            ),
+            c2 AS (SELECT doc_id, g, COUNT(*) AS cnt,
+                          CAST(length(g) - 1 AS BIGINT) AS glen
+                   FROM g2 GROUP BY doc_id, g),
+            top2 AS (SELECT doc_id, MAX(cnt * glen) AS top2_chars
+                     FROM c2 GROUP BY doc_id),
+            g3 AS (
+                SELECT doc_id,
+                       unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                               for i in generate_series(1, len(w)-2)]) AS g
+                FROM stats WHERE len(w) >= 3
+            ),
+            c3 AS (SELECT doc_id, g, COUNT(*) AS cnt,
+                          CAST(length(g) - 2 AS BIGINT) AS glen
+                   FROM g3 GROUP BY doc_id, g),
+            dup3 AS (SELECT doc_id,
+                            COALESCE(SUM(cnt * glen)
+                                     FILTER (WHERE cnt >= 2), 0) AS dup3_chars
+                     FROM c3 GROUP BY doc_id)
+            SELECT * FROM (
+                SELECT s.doc_id, s.n_tokens,
+                       CAST(FLOOR(CAST(COALESCE(t.top2_chars, 0) AS DOUBLE)
+                                  / GREATEST(s.total_chars, 1) * 10000 + 0.5)
+                            AS BIGINT) AS top2_frac_c,
+                       CAST(FLOOR(CAST(COALESCE(d.dup3_chars, 0) AS DOUBLE)
+                                  / GREATEST(s.total_chars, 1) * 10000 + 0.5)
+                            AS BIGINT) AS dup3_frac_c
+                FROM stats s
+                LEFT JOIN top2 t USING (doc_id)
+                LEFT JOIN dup3 d USING (doc_id)
+            )
+            WHERE top2_frac_c <= 1200 AND dup3_frac_c <= 600
         """,
         "q_kg_components": r"""
             WITH RECURSIVE e AS (

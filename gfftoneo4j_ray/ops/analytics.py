@@ -224,6 +224,106 @@ def q_quality_filter(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Repetition filter (Gopher-style n-gram repetition rules)
+# ---------------------------------------------------------------------------
+
+def _ngram_group_stats(parent: np.ndarray, codes: np.ndarray,
+                       tlen: np.ndarray, n: int):
+    """Group the word n-grams of every doc in one vectorized pass.
+
+    parent/codes/tlen are the flattened per-token arrays (doc index,
+    dictionary code, char length). Returns (group_doc, group_cnt,
+    group_chars) where each group is one distinct n-gram within one
+    doc, cnt its occurrence count, and chars the summed token char
+    length of ONE occurrence. Grouping is an exact lexsort over the
+    code tuple — no hashing, so no collision risk vs the oracle."""
+    if len(parent) < n:
+        e = np.empty(0, np.int64)
+        return e, e, e
+    valid = np.ones(len(parent) - (n - 1), dtype=bool)
+    for j in range(1, n):
+        valid &= parent[: len(parent) - (n - 1)] == parent[j:len(parent) - (n - 1) + j]
+    idx = np.flatnonzero(valid)
+    if not len(idx):
+        e = np.empty(0, np.int64)
+        return e, e, e
+    cols = [codes[idx + j] for j in range(n)]
+    glen = tlen[idx].copy()
+    for j in range(1, n):
+        glen += tlen[idx + j]
+    p = parent[idx]
+    order = np.lexsort(tuple(reversed(cols)) + (p,))
+    p_s = p[order]
+    change = p_s[1:] != p_s[:-1]
+    for c in cols:
+        c_s = c[order]
+        change |= c_s[1:] != c_s[:-1]
+    bounds = np.concatenate(([0], np.flatnonzero(change) + 1))
+    cnt = np.diff(np.append(bounds, len(p_s)))
+    return p_s[bounds], cnt.astype(np.int64), glen[order][bounds]
+
+
+def _per_doc_reduce(group_doc: np.ndarray, vals: np.ndarray,
+                    nrows: int, op) -> np.ndarray:
+    """Reduce group-level values to one value per doc (groups arrive
+    sorted by doc). op is np.maximum or np.add."""
+    out = np.zeros(nrows, np.int64)
+    if not len(group_doc):
+        return out
+    db = np.concatenate(([0], np.flatnonzero(group_doc[1:] != group_doc[:-1]) + 1))
+    out[group_doc[db]] = op.reduceat(vals, db)
+    return out
+
+
+def q_repetition_filter(sf_dir: str, top2_max_c: int = 1200,
+                        dup3_max_c: int = 600):
+    """Gopher-style (Rae et al. 2021, public) repetition gates: drop
+    docs where the most-repeated word 2-gram covers too many characters
+    (top2_frac) or duplicated word 3-grams cover too many (dup3_frac).
+    Fractions are over total token chars, scaled to 1e4 integers so the
+    engine and the DuckDB oracle can never disagree on a float boundary.
+    All per-doc work is C-speed: one RE2 tokenize pass, one dictionary
+    encode, one lexsort per n — no Python per row. Reference has no
+    corpus analytics; this extends the engine for LLM-data pipelines."""
+    ds = _docs(sf_dir)
+
+    def fn(t: pa.Table) -> pa.Table:
+        nrows = t.num_rows
+        flat, parent = _tokens_flat(t["text"])
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        parent = np.asarray(parent.to_numpy(zero_copy_only=False), np.int64)
+        tlen = pc.cast(pc.utf8_length(flat), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        codes = np.asarray(
+            flat.dictionary_encode().indices.to_numpy(zero_copy_only=False),
+            np.int64)
+
+        n_tok = np.bincount(parent, minlength=nrows).astype(np.int64)
+        total = np.bincount(parent, weights=tlen, minlength=nrows) \
+            .astype(np.int64)
+
+        d2, c2, l2 = _ngram_group_stats(parent, codes, tlen, 2)
+        top2 = _per_doc_reduce(d2, c2 * l2, nrows, np.maximum)
+        d3, c3, l3 = _ngram_group_stats(parent, codes, tlen, 3)
+        dup = c3 >= 2
+        dup3 = _per_doc_reduce(d3[dup], (c3 * l3)[dup], nrows, np.add)
+
+        den = np.maximum(total, 1).astype(np.float64)
+        top2_c = np.floor(top2 / den * 10000 + 0.5).astype(np.int64)
+        dup3_c = np.floor(dup3 / den * 10000 + 0.5).astype(np.int64)
+        keep = (top2_c <= top2_max_c) & (dup3_c <= dup3_max_c)
+        return pa.table({
+            "doc_id": t["doc_id"].filter(pa.array(keep)),
+            "n_tokens": pa.array(n_tok[keep], pa.int64()),
+            "top2_frac_c": pa.array(top2_c[keep], pa.int64()),
+            "dup3_frac_c": pa.array(dup3_c[keep], pa.int64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # Benchmark decontamination (n-gram overlap vs a probe/benchmark set)
 # ---------------------------------------------------------------------------
 

@@ -41,7 +41,8 @@ NEW_ORACLE_QUERIES = [
     "q_pivot", "q_grouping_sets", "q_count_distinct", "q_quantile_hist",
     "q_arg_max", "q_numeric_stats", "q_sample_hash", "q_dim_rollups",
     "q_heavy_hitters", "q_tfidf", "q_redact",
-    "q_quality_filter", "q_rolling_avg", "q_dsir_select",
+    "q_quality_filter", "q_repetition_filter", "q_rolling_avg",
+    "q_dsir_select",
 ]
 
 
@@ -59,6 +60,66 @@ def test_quality_filter_is_selective(entrymod, ray_session):
     """The gates must actually drop rows (else the thresholds are
     vacuous) without emptying the corpus."""
     n_kept = entrymod.queries()["q_quality_filter"](SF).count()
+    import ray
+
+    n_all = ray.data.read_parquet(f"{SF}/documents.parquet").count()
+    assert 0 < n_kept < n_all
+
+
+def test_repetition_filter_crafted(ray_session):
+    """Vectorized n-gram group stats vs a plain-Python reference on
+    crafted edge cases: heavy repeats, count ties with different char
+    lengths, 1-token / empty docs, duplicated 3-grams."""
+    import collections
+    import re
+    import tempfile
+
+    import pyarrow.parquet as pq
+    import ray
+
+    from gfftoneo4j_ray.ops import analytics as A
+
+    docs = [
+        "spam spam spam spam eggs",          # one dominant 2-gram
+        "aa bb aa bb cc dd cc dd",           # tie on count, equal len
+        "xxxx y xxxx y z longword longword z",  # tie, different lens
+        "solo",                               # 1 token: all zero
+        "",                                   # empty: all zero
+        "a b c a b c a b c",                 # duplicated 3-grams
+        "unique words only here now",        # no repeats at all
+    ]
+    tbl = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                    "text": pa.array(docs, pa.string())})
+
+    def ref(text):
+        w = re.findall(r"[a-z0-9_'-]+", text.lower())
+        total = max(sum(len(x) for x in w), 1)
+        g2 = collections.Counter(zip(w, w[1:]))
+        g3 = collections.Counter(zip(w, w[1:], w[2:]))
+        top2 = max((c * sum(len(t) for t in g) for g, c in g2.items()),
+                   default=0)
+        dup3 = sum(c * sum(len(t) for t in g)
+                   for g, c in g3.items() if c >= 2)
+        import math
+        return (len(w), math.floor(top2 / total * 10000 + 0.5),
+                math.floor(dup3 / total * 10000 + 0.5))
+
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(tbl, f"{d}/documents.parquet")
+        got = A.q_repetition_filter(f"{d}", top2_max_c=10**9,
+                                    dup3_max_c=10**9) \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(got["doc_id"]) == list(range(len(docs)))
+    for i, text in enumerate(docs):
+        n_tok, top2_c, dup3_c = ref(text)
+        assert got.loc[i, "n_tokens"] == n_tok, (i, text)
+        assert got.loc[i, "top2_frac_c"] == top2_c, (i, text)
+        assert got.loc[i, "dup3_frac_c"] == dup3_c, (i, text)
+
+
+def test_repetition_filter_is_selective(entrymod, ray_session):
+    """Both repetition gates must actually drop rows at sf0.001."""
+    n_kept = entrymod.queries()["q_repetition_filter"](SF).count()
     import ray
 
     n_all = ray.data.read_parquet(f"{SF}/documents.parquet").count()
