@@ -276,6 +276,90 @@ def write_warc(pages_table: pa.Table, path: str, *,
     return path
 
 
+WET_SCHEMA = pa.schema([
+    ("url", pa.string()),
+    ("warc_ts", pa.timestamp("us")),
+    ("text", pa.string()),
+    ("lang", pa.string()),
+    ("_malformed", pa.string()),
+])
+
+
+def read_wet(paths, *, on_error: str = "quarantine"):
+    """WET files (Common Crawl's extracted-text sidecar: a WARC
+    container whose ``conversion`` records carry the already-extracted
+    UTF-8 plain text) → documents-shaped Dataset
+    ``(url, warc_ts, text, lang, _malformed)``.
+
+    The WET path bypasses the HTML extraction stage entirely — its
+    output plugs straight into the triple/dedup/analytics stages. Same
+    unit of parallelism as ``read_warc`` (one ~1 GB file per read
+    task), same quarantine contract: invalid UTF-8 payloads and
+    malformed records land in ``_malformed`` instead of killing the
+    task (or raise under ``on_error='raise'``)."""
+    import ray
+
+    def parse_files(t: pa.Table) -> pa.Table:
+        urls, tss, texts, langs, errs = [], [], [], [], []
+        for data in t["bytes"].to_pylist():
+            for url, ts, body, err in parse_warc_bytes(
+                    data, on_error=on_error,
+                    types=(b"conversion",)):
+                text = None
+                if err is None:
+                    try:
+                        text = body.decode("utf-8")
+                    except UnicodeDecodeError:
+                        err = f"invalid UTF-8 in WET payload ({url})"
+                        if on_error == "raise":
+                            raise ValueError(err) from None
+                        url = None
+                urls.append(url)
+                tss.append(ts)
+                texts.append(text)
+                langs.append(None if err else "und")
+                errs.append(err)
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(tss, pa.timestamp("us")),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+            "_malformed": pa.array(errs, pa.string()),
+        }).cast(WET_SCHEMA)
+
+    return ray.data.read_binary_files(paths).map_batches(
+        parse_files, batch_format="pyarrow", batch_size=1)
+
+
+def write_wet(doc_rows, path: str, *, gzip_members: bool = False,
+              stray_response: bool = False) -> str:
+    """Inverse writer (test fixture helper): (url, ts_us, text-bytes)
+    rows → a WET file of conversion records. ``stray_response``
+    appends a response record, which a WET reader must skip."""
+    import gzip
+
+    def record(wtype: bytes, url: str, ts_us: int, body: bytes) -> bytes:
+        ts = datetime.fromtimestamp(ts_us / 1e6, tz=timezone.utc)
+        hdr = (b"WARC/1.0\r\n"
+               b"WARC-Type: " + wtype + b"\r\n"
+               + f"WARC-Target-URI: {url}\r\n".encode()
+               + f"WARC-Date: {ts.strftime('%Y-%m-%dT%H:%M:%SZ')}\r\n"
+               .encode()
+               + b"Content-Type: text/plain\r\n"
+               + f"Content-Length: {len(body)}\r\n".encode())
+        return hdr + b"\r\n" + body + _CRLF2
+
+    with open(path, "wb") as f:
+        for url, ts_us, body in doc_rows:
+            rec = record(b"conversion", url, ts_us, body)
+            f.write(gzip.compress(rec, mtime=0) if gzip_members else rec)
+        if stray_response:
+            rec = record(b"response", "https://skip.example/", 0,
+                         b"HTTP/1.1 200 OK\r\n\r\n<html></html>")
+            f.write(gzip.compress(rec, mtime=0) if gzip_members else rec)
+    return path
+
+
 def split_quarantine(ds):
     """(clean pages without _malformed, quarantined rows) — same
     contract as the extract stage's views: two lazy vectorized filters

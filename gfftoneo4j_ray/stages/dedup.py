@@ -178,6 +178,104 @@ def dedup_against_snapshot(docs_ds, prior_hashes_ds,
                      right_schema=pa.schema([(id_col, id_type)]))
 
 
+# ---------------------------------------------------------------------------
+# Bloom-filter snapshot registry (approximate dedup-across-dumps)
+# ---------------------------------------------------------------------------
+# The bounded-memory counterpart of snapshot_hashes/dedup_against_
+# snapshot (the Dolma-pipeline design point, public): the exact
+# registry of 10^12 prior docs is ~20 TB of hashes; a Bloom filter at
+# 1% FP is ~1.5 TB and probe is pure map-side — no anti-join exchange.
+# Guarantees: NO false negatives (every true cross-dump duplicate is
+# dropped); false positives (novel docs wrongly dropped) bounded by
+# (1 - e^{-kn/m})^k. Union registries across dumps by OR-ing bitmaps.
+
+def _bloom_hashes(texts, m_bits: int, k: int) -> np.ndarray:
+    """(n, k) bit indices via Kirsch-Mitzenmacher double hashing over
+    the sha1 digest (h1 + j*h2 mod m). Per-row cost is the same
+    C-speed sha1 the exact registry pays; index math is vectorized."""
+    h1 = np.empty(len(texts), np.uint64)
+    h2 = np.empty(len(texts), np.uint64)
+    for i, x in enumerate(texts):
+        d = hashlib.sha1((x or "").encode("utf-8")).digest()
+        h1[i] = int.from_bytes(d[:8], "little")
+        h2[i] = int.from_bytes(d[8:16], "little") | 1  # odd → full cycle
+    j = np.arange(k, dtype=np.uint64)
+    return (h1[:, None] + j[None, :] * h2[:, None]) % np.uint64(m_bits)
+
+
+def bloom_build(docs_ds, *, m_bits: int = 1 << 23, k: int = 4,
+                text_col: str = "text", fanin: int = 16) -> np.ndarray:
+    """Build the Bloom bitmap over a snapshot's content hashes:
+    per-block partial bitmaps (map_batches), then a tree of OR tasks
+    with ``fanin`` inputs per level — the driver never sees more than
+    the final ``m_bits/8`` bytes, and no level's working set exceeds
+    ``fanin`` bitmaps per task. Returns the uint64-word bitmap."""
+    import ray
+
+    if m_bits % 64:
+        raise ValueError("m_bits must be a multiple of 64")
+    words = m_bits // 64
+
+    def partial(t: pa.Table) -> pa.Table:
+        bm = np.zeros(words, np.uint64)
+        idx = _bloom_hashes(t[text_col].to_pylist(), m_bits, k).ravel()
+        np.bitwise_or.at(bm, (idx >> np.uint64(6)).astype(np.int64),
+                         np.uint64(1) << (idx & np.uint64(63)))
+        return pa.table({"bloom": pa.array([bm.tobytes()], pa.binary())})
+
+    parts = docs_ds.map_batches(partial, batch_format="pyarrow")
+
+    @ray.remote
+    def or_fold(*blobs):
+        acc = np.zeros(words, np.uint64)
+        for b in blobs:
+            if isinstance(b, pa.Table):  # leaf: a partial's block
+                for chunk in b["bloom"].to_pylist():
+                    acc |= np.frombuffer(chunk, np.uint64)
+            else:                        # inner: a folded bitmap
+                acc |= b
+        return acc
+
+    refs = []
+    for bundle in parts.iter_internal_ref_bundles():
+        for blk, _ in bundle.blocks:
+            refs.append(or_fold.remote(blk))
+    if not refs:
+        return np.zeros(words, np.uint64)
+    while len(refs) > 1:
+        refs = [or_fold.remote(*refs[i:i + fanin])
+                for i in range(0, len(refs), fanin)]
+    return ray.get(refs[0])
+
+
+def bloom_probe(docs_ds, bloom: np.ndarray, *, k: int = 4,
+                text_col: str = "text"):
+    """Keep only the docs whose content is definitely NOT in the
+    registry (all-k-bits-set rows are dropped as probable duplicates).
+    The bitmap ships to each actor once via ``ray.put`` and loads in
+    ``__init__`` — pure map-side, zero shuffle."""
+    import ray
+
+    m_bits = len(bloom) * 64
+    bloom_ref = ray.put(bloom)
+
+    class Probe:
+        def __init__(self):
+            self.bm = ray.get(bloom_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return t
+            idx = _bloom_hashes(t[text_col].to_pylist(), m_bits, k)
+            bits = (self.bm[(idx >> np.uint64(6)).astype(np.int64)]
+                    >> (idx & np.uint64(63))) & np.uint64(1)
+            seen = bits.all(axis=1)
+            return t.filter(pa.array(~seen))
+
+    return docs_ds.map_batches(Probe, batch_format="pyarrow",
+                               concurrency=(1, 8))
+
+
 def _split_lines(t: pa.Table, id_col: str, text_col: str):
     """Vectorized line explode shared by both line_dedup passes:
     batch → (doc_ids_flat int64, flat lines StringArray, line-hash

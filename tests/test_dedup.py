@@ -380,3 +380,47 @@ def test_dedup_against_snapshot_non_int_ids(planted_docs, ray_session):
     }))
     kept = dedup.dedup_against_snapshot(new_docs, reg).to_pandas()
     assert sorted(kept["doc_id"]) == ["u-new"]
+
+
+def test_bloom_registry_no_false_negatives_and_bounded_fp(ray_session):
+    """Bloom snapshot registry: every true cross-dump duplicate is
+    dropped (zero false negatives, by construction), novel docs
+    survive up to the (1-e^{-kn/m})^k false-positive bound, and
+    bitmaps union by OR."""
+    import ray
+
+    snap_a = [f"snapshot A page {i} body text" for i in range(300)]
+    snap_b = [f"snapshot B page {i} other text" for i in range(300)]
+    novel = [f"genuinely new page {i} content" for i in range(500)]
+
+    def ds_of(texts, start):
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(range(start, start + len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }))
+
+    m_bits, k = 1 << 16, 4
+    bm_a = dedup.bloom_build(ds_of(snap_a, 0), m_bits=m_bits, k=k)
+    bm_b = dedup.bloom_build(ds_of(snap_b, 1000), m_bits=m_bits, k=k)
+
+    # determinism: rebuilding gives the identical bitmap
+    bm_a2 = dedup.bloom_build(
+        ds_of(snap_a, 0).repartition(7), m_bits=m_bits, k=k)
+    assert np.array_equal(bm_a, bm_a2)
+
+    union = bm_a | bm_b
+    dump = ds_of(snap_a[:50] + snap_b[:50] + novel, 5000)
+    kept = dedup.bloom_probe(dump, union, k=k).to_pandas()
+    kept_ids = set(kept["doc_id"])
+    # no false negatives: all 100 true duplicates are gone
+    assert not (set(range(5000, 5100)) & kept_ids)
+    # bounded false positives on the 500 novel docs: expected rate at
+    # n=600, m=2^16, k=4 is ~1.5e-5 — allow a generous margin
+    n_fp = 500 - len(kept_ids)
+    assert n_fp <= 5, n_fp
+
+    # a deliberately undersized filter must still have NO false
+    # negatives even when false positives appear
+    small = dedup.bloom_build(ds_of(snap_a, 0), m_bits=1 << 10, k=k)
+    kept_small = dedup.bloom_probe(ds_of(snap_a, 0), small, k=k)
+    assert kept_small.count() == 0

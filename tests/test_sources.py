@@ -227,6 +227,36 @@ def test_warc_chunked_transfer_encoding_dechunked():
         parse_warc_bytes(bad, on_error="raise")
 
 
+def test_wet_roundtrip_skip_and_quarantine(ray_session, tmp_path):
+    """WET (conversion-record) ingest: plain + per-record-gzip files
+    round-trip the text, a stray response record is skipped, and an
+    invalid-UTF-8 payload is quarantined with a reason."""
+    from gfftoneo4j_ray.sources.warc import (read_wet, split_quarantine,
+                                             write_wet)
+
+    rows = [(f"https://ex.org/{i}", 1_700_000_000_000_000 + i * 1_000_000,
+             f"doc {i} text\nwith lines".encode()) for i in range(20)]
+    a = write_wet(rows[:10], str(tmp_path / "a.warc.wet"),
+                  stray_response=True)
+    bad = rows[10:] + [("https://ex.org/bad", 1_700_000_000_000_000,
+                        b"\xff\xfe broken")]
+    b = write_wet(bad, str(tmp_path / "b.warc.wet.gz"), gzip_members=True)
+
+    clean, quar = split_quarantine(read_wet([a, b]))
+    df = clean.to_pandas()
+    assert len(df) == 20  # stray response skipped, bad row quarantined
+    got = dict(zip(df["url"], df["text"]))
+    for url, _, body in rows:
+        assert got[url] == body.decode()
+    q = quar.to_pandas()
+    assert len(q) == 1 and "invalid UTF-8" in q["_malformed"].iloc[0]
+
+    # Ray wraps the task's ValueError in UserCodeException; the
+    # original message survives in the chained str
+    with pytest.raises(Exception, match="invalid UTF-8"):
+        read_wet([b], on_error="raise").materialize()
+
+
 def test_pipeline_from_warc(ray_session, warc_files, tiny_corpus, tmp_path):
     """The WARC source feeds the same KG pipeline as parquet/jsonl,
     with language predicted at ingest (WARC has no lang field)."""
