@@ -529,6 +529,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_dim_rollups": S.q_dim_rollups,  # part-brand + supplier-nation
         # rolling windows + sketches (ops/windowed.py)
         "q_rolling_avg": W.q_rolling_avg,
+        "q_window_rank": W.q_window_rank,  # row_number/lag/ntile/pct_rank
         "q_hll_error": W.q_hll_error,  # HLL est vs exact, hybrid oracle
         # corpus analytics (ops/analytics.py)
         "q_heavy_hitters": A.q_heavy_hitters,
@@ -854,6 +855,21 @@ def oracle_sql() -> dict[str, str]:
             FROM vc
             WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id
                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        """,
+        "q_window_rank": r"""
+            WITH vc AS (
+                SELECT user_id, event_id, epoch_us(ts) AS tus,
+                       CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v
+                FROM events
+            )
+            SELECT user_id, event_id,
+                   ROW_NUMBER() OVER w AS rn,
+                   LAG(v) OVER w AS lag_v_c,
+                   CAST(NTILE(4) OVER w AS BIGINT) AS tile,
+                   CAST(FLOOR(PERCENT_RANK() OVER w * 10000 + 0.5)
+                        AS BIGINT) AS pr_c
+            FROM vc
+            WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
         """,
         "q_heavy_hitters": r"""
             SELECT w AS word, COUNT(*) AS n

@@ -348,7 +348,7 @@ def run_bench() -> dict:
         "q_ann_topk",
         "q_doc_signatures",
         "q_heavy_hitters", "q_tfidf", "q_dsir_select", "q_quality_filter",
-        "q_repetition_filter", "q_count_distinct"]
+        "q_repetition_filter", "q_window_rank", "q_count_distinct"]
     for name in qnames:
         best = None
         for _ in range(2):  # best-of-2: same host-variance rationale

@@ -85,6 +85,75 @@ def q_rolling_avg(sf_dir: str, window: int = 3):
         ds.map_batches(derive, batch_format="pyarrow"), 32, per_bucket)
 
 
+def q_window_rank(sf_dir: str, ntiles: int = 4):
+    """The classic SQL window-function family per user (ordered by
+    ts, event_id): ROW_NUMBER, LAG of the scaled value, NTILE(4)
+    (1-based, SQL bucket-size semantics: the first n%k tiles get the
+    extra row), and PERCENT_RANK scaled to 1e4. One bucketed exchange
+    on user_id, then pure vectorized segment kernels over each
+    bucket's sorted rows — same layout as :func:`q_rolling_avg`."""
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "event_id", "ts", "value"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        out = pa.table({
+            "user_id": t["user_id"],
+            "event_id": t["event_id"],
+            "tus": pc.cast(t["ts"], pa.int64()),
+            "v": pa.array(np.floor(v * 100 + 0.5).astype(np.int64)),
+        })
+        return append_bucket(out, ["user_id"], 32)
+
+    empty = pa.schema([
+        ("user_id", pa.int64()), ("event_id", pa.int64()),
+        ("rn", pa.int64()), ("lag_v_c", pa.int64()),
+        ("tile", pa.int64()), ("pr_c", pa.int64())])
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("user_id", "ascending"), ("tus", "ascending"),
+                       ("event_id", "ascending")])
+        keys = g["user_id"].to_numpy(zero_copy_only=False)
+        n = len(keys)
+        if n == 0:
+            return empty.empty_table()
+        v = g["v"].to_numpy(zero_copy_only=False)
+        idx = np.arange(n)
+        starts = np.r_[0, np.flatnonzero(keys[1:] != keys[:-1]) + 1]
+        rl = np.diff(np.r_[starts, n])
+        run_start = np.repeat(starts, rl)
+        n_run = np.repeat(rl, rl)
+        rn = idx - run_start + 1
+
+        lag_v = np.empty(n, np.int64)
+        lag_v[1:] = v[:-1]
+        lag_valid = idx != run_start           # null at each user's start
+
+        r0 = rn - 1
+        q, rem = np.divmod(n_run, ntiles)
+        big = rem * (q + 1)                    # rows in the q+1-sized tiles
+        tile = np.where(r0 < big, r0 // (q + 1),
+                        rem + (r0 - big) // np.maximum(q, 1)) + 1
+
+        pr_c = np.floor(r0.astype(np.float64)
+                        / np.maximum(n_run - 1, 1) * 10000 + 0.5) \
+            .astype(np.int64)
+        return pa.table({
+            "user_id": g["user_id"],
+            "event_id": g["event_id"],
+            "rn": pa.array(rn, pa.int64()),
+            "lag_v_c": pa.array(lag_v, pa.int64(),
+                                mask=~lag_valid),
+            "tile": pa.array(tile, pa.int64()),
+            "pr_c": pa.array(pr_c, pa.int64()),
+        })
+
+    from .exchange import bucketed_map_groups
+
+    return bucketed_map_groups(
+        ds.map_batches(derive, batch_format="pyarrow"), 32, per_bucket)
+
+
 # ---------------------------------------------------------------------------
 # HyperLogLog distinct-count sketch
 # ---------------------------------------------------------------------------

@@ -75,6 +75,8 @@ def sniff_format(payload: bytes) -> str | None:
         return "gif"
     if p[:4] == b"RIFF" and p[8:12] == b"WEBP":
         return "webp"
+    if p[:4] in (b"II*\x00", b"MM\x00*"):
+        return "tiff"
     return None
 
 
@@ -417,8 +419,10 @@ def decode_image(payload: bytes) -> np.ndarray:
     Adam7-interlaced PNG (gray/RGB/palette/gray+alpha/RGBA — see
     :func:`_decode_png`), baseline (SOF0) or progressive (SOF2)
     JPEG (:mod:`stages.jpeg`; arithmetic-coded JPEG falls back),
-    GIF87a/89a first frame (:func:`_decode_gif`), and lossless WebP
-    (VP8L incl. all four transforms, :mod:`stages.webp`).
+    GIF87a/89a first frame (:func:`_decode_gif`), lossless WebP
+    (VP8L incl. all four transforms, :mod:`stages.webp`), and
+    baseline TIFF (none/LZW/PackBits strips, predictor 2,
+    gray/RGB/palette, both byte orders — :mod:`stages.tiff`).
     Formats needing an external codec (lossy-VP8 WebP, animations,
     …, absent in this container) raise ``NotImplementedError``
     unless one is importable."""
@@ -436,6 +440,10 @@ def decode_image(payload: bytes) -> np.ndarray:
         from .jpeg import decode_jpeg
 
         return decode_jpeg(p)
+    if fmt == "tiff":
+        from .tiff import decode_tiff
+
+        return decode_tiff(p)
     if fmt in ("ppm", "pgm"):
         (w, h, maxval), off = _pnm_tokens(p, 3)
         if maxval > 255:
