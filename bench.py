@@ -344,11 +344,12 @@ def run_bench() -> dict:
     qnames = [] if os.environ.get("BENCH_SKIP_QUERIES") else [
         "q_lineitem_agg", "q_filter_project", "q_two_level_rollup",
         "q_window_agg", "q_adjacent_pairs", "q_dedup_exact",
-        "q_corpus_prep", "q_substring_dedup", "q_minhash_neardup",
-        "q_ann_topk",
+        "q_corpus_prep", "q_substring_dedup", "q_neardup",
+        "q_ann", "q_semdedup",
         "q_doc_signatures",
         "q_heavy_hitters", "q_tfidf", "q_dsir_select", "q_quality_filter",
-        "q_repetition_filter", "q_window_rank", "q_count_distinct"]
+        "q_repetition_filter", "q_window_funcs", "q_sketches",
+        "q_count_distinct"]
     for name in qnames:
         best = None
         for _ in range(2):  # best-of-2: same host-variance rationale

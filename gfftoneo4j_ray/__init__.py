@@ -27,6 +27,51 @@ groupby/sort shuffles with documented keys (SURVEY.md §7.4).
 __version__ = "0.1.0"
 
 
+def _pin_fsspec_http_stub() -> None:
+    """Make concurrent driver-thread Dataset reads race-free.
+
+    Ray's ``_is_http_filesystem()`` (ray/data/datasource/path_util.py)
+    runs ``from fsspec.implementations.http import HTTPFileSystem``
+    inside every ``read_parquet`` and catches only
+    ``ModuleNotFoundError``. Without aiohttp in the image that import
+    always fails — harmless single-threaded, but two reads launched
+    from driver THREADS (the tagged-union slots overlap their legs
+    that way) can race the partial import: the second thread sees the
+    half-initialized module in ``sys.modules`` and gets a plain
+    ``ImportError`` ("cannot import name 'HTTPFileSystem'"), which
+    Ray does NOT catch. Pin a minimal stub module once, at package
+    import on the main thread, so the name always resolves; the
+    placeholder class is never instantiated, so Ray's
+    ``isinstance(..., HTTPFileSystem)`` checks are False — the same
+    outcome as the caught-ModuleNotFoundError path."""
+    import sys
+
+    try:
+        import fsspec.implementations.http  # noqa: F401
+
+        return
+    except ImportError:
+        pass
+    try:
+        import types
+
+        import fsspec.implementations as _fi
+
+        mod = types.ModuleType("fsspec.implementations.http")
+
+        class HTTPFileSystem:  # placeholder only — never instantiated
+            pass
+
+        mod.HTTPFileSystem = HTTPFileSystem
+        sys.modules["fsspec.implementations.http"] = mod
+        _fi.http = mod
+    except ImportError:
+        pass  # no fsspec at all: Ray's own guard handles it
+
+
+_pin_fsspec_http_stub()
+
+
 def quiet_empty_schema_warnings() -> None:
     """Drop Ray Data's cosmetic empty-block schema-divergence warning.
 

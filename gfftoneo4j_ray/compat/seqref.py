@@ -147,3 +147,71 @@ def sequential_kg_build(pages: list[dict], dict_table: pa.Table,
                      "n_mentions": None})
     nodes = pa.Table.from_pylist(rows, schema=NODES_SCHEMA).sort_by("node_id")
     return nodes, edges
+
+
+# ---------------------------------------------------------------------------
+# Sequential SemDeDup reference (stages/semdedup.py must reproduce it)
+# ---------------------------------------------------------------------------
+
+def sequential_semdedup(vec_ids, embeddings, n_clusters=8, iters=4,
+                        tau_c=None, seed=23, init_sample=128):
+    """Single-process plain-numpy SemDeDup over the WHOLE table —
+    the independent oracle for the distributed pipeline
+    (stages/semdedup.py): same integer spec (quantize ×2²⁰ half-up,
+    int64 Lloyd with global argmin, ascending-id greedy leader scan),
+    straight-line code, no Ray, no batching, no exchange. Returns a
+    pyarrow table (vec_id, cluster, kept, dup_of)."""
+    import numpy as np
+
+    SCALE = 1 << 20
+    if tau_c is None:
+        tau_c = int(0.35 * (1 << 40))
+    order = np.argsort(np.asarray(vec_ids, np.int64), kind="stable")
+    ids = np.asarray(vec_ids, np.int64)[order]
+    x = np.asarray(embeddings, np.float64)[order]
+    nrm = np.sqrt(np.sum(x * x, axis=1, keepdims=True))
+    nrm[nrm == 0.0] = 1.0
+    q = np.floor(x / nrm * SCALE + 0.5).astype(np.int64)
+
+    samp = q[ids < init_sample]
+    rng = np.random.default_rng(seed)
+    cent = samp[rng.choice(len(samp), size=min(n_clusters, len(samp)),
+                           replace=False)].copy()
+
+    def assign(X):
+        score = -2 * (X @ cent.T) + np.sum(cent * cent, axis=1)[None, :]
+        return np.argmin(score, axis=1)
+
+    for _ in range(iters):
+        a = assign(q)
+        new = cent.copy()
+        for c in range(len(cent)):
+            m = q[a == c]
+            if len(m):
+                new[c] = np.floor(m.sum(axis=0, dtype=np.int64)
+                                  / float(len(m)) + 0.5).astype(np.int64)
+        cent = new
+
+    a = assign(q)
+    kept = np.zeros(len(q), bool)
+    dup_of = np.full(len(q), -1, np.int64)
+    for c in range(len(cent)):
+        rows = np.flatnonzero(a == c)      # ids ascending already
+        leaders = []
+        for i in rows:
+            hit = -1
+            for j in leaders:
+                if int(q[j] @ q[i]) >= tau_c:
+                    hit = j
+                    break
+            if hit >= 0:
+                dup_of[i] = ids[hit]
+            else:
+                kept[i] = True
+                leaders.append(i)
+    return pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "cluster": pa.array(a.astype(np.int64), pa.int64()),
+        "kept": pa.array(kept),
+        "dup_of": pa.array(dup_of, pa.int64(), mask=dup_of < 0),
+    })

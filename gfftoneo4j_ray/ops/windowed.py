@@ -290,3 +290,86 @@ def q_hll_error(sf_dir: str):
         "est_n": pa.array(m["est_n"].astype("int64")),
         "err_c": pa.array(err),
     })
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005, public)
+# ---------------------------------------------------------------------------
+
+CMS_D = 4                        # hash rows
+CMS_W = 2048                     # counters per row
+_CMS_SALTS = (0x51ED, 0x2A9B, 0x7C15, 0x1B87)
+
+
+def _mix64(h: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer (same mixer as the HLL hash) — well-mixed
+    64 bits from a 64-bit input, vectorized."""
+    h = h + np.uint64(0x9E3779B97F4A7C15)
+    h ^= h >> np.uint64(30)
+    h *= np.uint64(0xBF58476D1CE4E5B9)
+    h ^= h >> np.uint64(27)
+    h *= np.uint64(0x94D049BB133111EB)
+    h ^= h >> np.uint64(31)
+    return h
+
+
+def cms_columns(words, width: int = CMS_W) -> np.ndarray:
+    """(CMS_D × n) counter-column indices for a word array — row j uses
+    the salted splitmix64 of the stable 64-bit word hash. This IS the
+    sketch spec: tools/make_goldens.py applies the same function to
+    exact corpus counts (CMS cells are sums of per-word counts, so the
+    sketch is a pure order-independent function of the count table)."""
+    from ..functions.hashing import stable_hash64
+
+    base = stable_hash64(words)
+    return np.stack([
+        (_mix64(base ^ np.uint64(s)) % np.uint64(width)).astype(np.int64)
+        for s in _CMS_SALTS])
+
+
+def cms_sketch(docs_ds, text_col: str = "text", width: int = CMS_W):
+    """Distributed Count-Min sketch over the corpus token stream.
+
+    Map side: tokenize the batch once (RE2), per-batch word counts,
+    scatter-add into a local d×w int64 matrix, emit the NONZERO cells
+    as (row, col, n_part) — shuffle volume ≤ d·w per batch no matter
+    how many tokens the batch holds (the CMS analogue of the HLL
+    register layout). Merge: one two-phase hashagg sum. Returns the
+    d×w numpy matrix (bounded model state: 4×2048 int64)."""
+    from .analytics import _tokens_flat
+    from .hashagg import hash_aggregate
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat, _ = _tokens_flat(t[text_col])
+        if len(flat) == 0:
+            return pa.table({"row": pa.array([], pa.int64()),
+                             "col": pa.array([], pa.int64()),
+                             "n_part": pa.array([], pa.int64())})
+        g = pa.table({"w": flat}).group_by(["w"]).aggregate([("w", "count")])
+        words = g["w"].to_pylist()
+        cnt = g["w_count"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cols = cms_columns(words, width)
+        m = np.zeros((CMS_D, width), np.int64)
+        for j in range(CMS_D):
+            np.add.at(m[j], cols[j], cnt)
+        r, c = np.nonzero(m)
+        return pa.table({"row": pa.array(r.astype(np.int64)),
+                         "col": pa.array(c.astype(np.int64)),
+                         "n_part": pa.array(m[r, c], pa.int64())})
+
+    cells = hash_aggregate(
+        docs_ds.map_batches(partial, batch_format="pyarrow"),
+        ["row", "col"], [("n_part", "sum", "n")], num_buckets=8) \
+        .take_all()                       # ≤ d·w rows: bounded model state
+    m = np.zeros((CMS_D, width), np.int64)
+    for cell in cells:
+        m[int(cell["row"]), int(cell["col"])] = int(cell["n"])
+    return m
+
+
+def cms_estimate(m: np.ndarray, words) -> np.ndarray:
+    """Point-query the sketch: est(w) = min over rows of the hashed
+    cell — never underestimates (within one row collisions only add)."""
+    cols = cms_columns(list(words), m.shape[1])
+    return np.min(
+        np.stack([m[j, cols[j]] for j in range(CMS_D)]), axis=0)

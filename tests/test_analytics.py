@@ -41,8 +41,8 @@ NEW_ORACLE_QUERIES = [
     "q_pivot", "q_grouping_sets", "q_count_distinct", "q_quantile_hist",
     "q_arg_max", "q_numeric_stats", "q_sample_hash", "q_dim_rollups",
     "q_heavy_hitters", "q_tfidf", "q_redact",
-    "q_quality_filter", "q_repetition_filter", "q_rolling_avg",
-    "q_window_rank", "q_dsir_select",
+    "q_quality_filter", "q_repetition_filter", "q_window_funcs",
+    "q_dsir_select",
 ]
 
 
@@ -136,17 +136,50 @@ def test_sample_hash_rate(entrymod, ray_session):
 
 
 def test_hll_users_accuracy(entrymod, oracle_con, ray_session):
-    """The HLL estimate (q_hll_error's est_n column) must land within
-    5% of the exact distinct count for every group — and the exact_n
-    column (computed distributed) must equal SQL COUNT(DISTINCT)."""
-    got = entrymod.queries()["q_hll_error"](SF).to_pandas()
+    """The HLL estimate (q_sketches' kind='hll' est_n column) must land
+    within 5% of the exact distinct count for every group — and the
+    exact_n column (computed distributed) must equal SQL
+    COUNT(DISTINCT)."""
+    all_rows = entrymod.queries()["q_sketches"](SF).to_pandas()
+    got = all_rows[all_rows["kind"] == "hll"]
     exact = dict(oracle_con.execute(
         "SELECT event_type, COUNT(DISTINCT user_id) FROM events "
         "GROUP BY event_type").fetchall())
-    assert set(got["event_type"]) == set(exact)
-    for et, est, ex in zip(got["event_type"], got["est_n"], got["exact_n"]):
+    assert set(got["key"]) == set(exact)
+    for et, est, ex in zip(got["key"], got["est_n"], got["exact_n"]):
         assert ex == exact[et], (et, ex, exact[et])
         assert abs(est - ex) / ex < 0.05, (et, est, ex)
+
+
+def test_cms_never_underestimates(entrymod, oracle_con, ray_session):
+    """Count-Min structural guarantees on the kind='cms' rows: exact_n
+    equals the real SQL count for every word, est_n ≥ exact_n always
+    (within one row collisions only ADD), and the sketch must actually
+    collide at the demo width (else the artifact is vacuous)."""
+    all_rows = entrymod.queries()["q_sketches"](SF).to_pandas()
+    got = all_rows[all_rows["kind"] == "cms"]
+    assert len(got) == 30
+    exact = dict(oracle_con.execute("""
+        SELECT w, COUNT(*) FROM (SELECT unnest(regexp_extract_all(
+            lower(text), '[a-z0-9_''-]+')) AS w FROM documents)
+        GROUP BY w""").fetchall())
+    assert (got["est_n"] >= got["exact_n"]).all()
+    assert (got["est_n"] > got["exact_n"]).any()
+    for w, ex in zip(got["key"], got["exact_n"]):
+        assert ex == exact[w], (w, ex)
+
+
+def test_cms_merge_invariance(ray_session):
+    """The sketch matrix must not depend on batching/partitioning —
+    cell sums are add-associative."""
+    import ray
+
+    from gfftoneo4j_ray.ops.windowed import cms_sketch
+
+    t = pa.table({"text": [f"w{i % 7} w{i % 13} common" for i in range(400)]})
+    one = cms_sketch(ray.data.from_arrow(t), width=16)
+    many = cms_sketch(ray.data.from_arrow(t).repartition(11), width=16)
+    assert (one == many).all()
 
 
 def test_hll_merge_invariance(ray_session):

@@ -46,7 +46,7 @@ def _to_df(res):
 
 
 ORACLE_SUBSET = ["q_lineitem_agg", "q_group_consistency", "q_adjacent_pairs",
-                 "q_dedup_exact", "q_quality_filter", "q_ann_topk",
+                 "q_dedup_exact", "q_quality_filter",
                  "q_window_agg", "q_join_enrich", "q_range_join"]
 
 
@@ -71,8 +71,13 @@ def test_entry_runs_and_returns_rows(entrymod):
 
 def test_rows_only_queries_return_rows(entrymod):
     qs = entrymod.queries()
+    # q_ann / q_neardup / q_semdedup carry sf0.01-pinned golden legs in
+    # their union oracles, so at sf0.001 they are rows-only here; their
+    # full value checks run at sf0.01 (tools/oracle_gate.py + driver)
+    # and their kernels are value-tested in test_similarity /
+    # test_dedup / test_semdedup.
     for name in ["q_doc_signatures", "kg_triples", "mm_features",
-                 "q_ann_recall", "q_corpus_prep"]:
+                 "q_ann", "q_neardup", "q_corpus_prep"]:
         df = _to_df(qs[name](SF))
         assert len(df) > 0, name
 

@@ -256,6 +256,59 @@ def main() -> None:
         "recall_c": pa.array([r[4] for r in rows], pa.int64()),
     }), os.path.join(OUT, "sf0_01_ann_recall.parquet"))
     print("ann recall golden:", rows)
+
+    # --- Count-Min sketch golden (local function application) ----------
+    # The CMS matrix is a pure ORDER-INDEPENDENT function of the corpus
+    # word-count table (each cell is a sum of per-word counts), so the
+    # golden applies the cell spec (ops/windowed.cms_columns) to exact
+    # counts computed by DuckDB — no Ray, no batching, no exchange. The
+    # distributed sketch (cms_sketch) must reproduce the same
+    # estimates; the exact side of the driver comparison is REAL SQL.
+    import duckdb as _dd
+
+    import numpy as _np
+
+    from gfftoneo4j_ray.ops.windowed import (CMS_D, cms_columns,
+                                             cms_estimate)
+
+    wc = _dd.sql(f"""
+        SELECT w AS word, COUNT(*) AS n
+        FROM (SELECT unnest(regexp_extract_all(lower(text),
+                            '[a-z0-9_''-]+')) AS w
+              FROM read_parquet('{SF}/documents.parquet'))
+        GROUP BY w ORDER BY n DESC, word
+    """).fetchdf()
+    cms_w = 32  # matches __ray_entry__.q_cms_error (see its docstring)
+    cols = cms_columns(wc["word"].tolist(), cms_w)
+    mat = _np.zeros((CMS_D, cms_w), _np.int64)
+    cnts = wc["n"].to_numpy().astype(_np.int64)
+    for j in range(CMS_D):
+        _np.add.at(mat[j], cols[j], cnts)
+    top = wc.head(30)
+    est = cms_estimate(mat, top["word"].tolist())
+    pq.write_table(pa.table({
+        "word": pa.array(top["word"], pa.string()),
+        "est_n": pa.array(est.astype("int64"), pa.int64()),
+    }), os.path.join(OUT, "sf0_01_cms.parquet"))
+    print("cms golden:", len(top), "words, max overestimate:",
+          int((est - top["n"].to_numpy()).max()))
+
+    # --- SemDeDup golden (sequential plain-numpy reference) ------------
+    # compat/seqref.sequential_semdedup: single process, whole table,
+    # straight-line integer spec — the distributed stages/semdedup.py
+    # pipeline must reproduce it bit-for-bit (pinned in
+    # tests/test_semdedup.py at sf0.001; this golden pins sf0.01 for
+    # the driver's DuckDB oracle).
+    from gfftoneo4j_ray.compat.seqref import sequential_semdedup
+
+    edf = pq.read_table(os.path.join(SF, "embeddings.parquet"),
+                        columns=["vec_id", "embedding"]).to_pandas()
+    sem = sequential_semdedup(edf["vec_id"].to_numpy(),
+                              np.array(edf["embedding"].to_list()))
+    pq.write_table(sem, os.path.join(OUT, "sf0_01_semdedup.parquet"))
+    print("semdedup golden:", sem.num_rows, "rows,",
+          int(pa.compute.sum(pa.compute.invert(sem["kept"])).as_py() or 0),
+          "dropped")
     ray.shutdown()
 
 
