@@ -423,33 +423,19 @@ def q_ann_topk(sf_dir: str):
                                        query_ids=list(range(8)), k=5)
 
 
-def q_ann_recall(sf_dir: str):
-    """Driver-visible accuracy artifact for BOTH approximate ANN paths
-    (LSH random-hyperplane buckets; IVF k-means cells + multi-probe):
-    one row per method with its top-k recall against the exact
-    brute-force path, as scaled ints — flips the formerly rows-only
-    entries to value-checked (golden pins the deterministic result;
-    the golden's exact side is independently recomputed with plain
-    numpy in tools/make_goldens.py)."""
+def _ann_recall_table(exact, approx_results) -> "pyarrow.Table":
+    """Fold an exact top-k table plus [(method, table), …] approximate
+    results into the per-method recall rows (scaled ints)."""
     import math
 
     import pyarrow as pa
 
-    qids, k = list(range(8)), 5
-    exact = similarity.brute_force_topk(_emb(sf_dir), query_ids=qids,
-                                        k=k).to_pandas()
+    exact = exact.to_pandas()
     eset = set(zip(exact["query_id"].astype(int),
                    exact["neighbor_id"].astype(int)))
-    # n_bits=4 (16 buckets): the synthetic embeddings are
-    # near-orthogonal, so hyperplane agreement for a true-neighbor pair
-    # is barely above chance — finer buckets (the 8-bit default) drive
-    # recall to ~0 on THIS data shape. The clustered-data recall
-    # contracts live in tests/test_similarity.py.
     rows = []
-    for method, fn in (("ivf", similarity.ivf_topk),
-                       ("lsh", lambda ds, **kw: similarity.lsh_topk(
-                           ds, n_bits=4, **kw))):
-        got = fn(_emb(sf_dir), query_ids=qids, k=k).to_pandas()
+    for method, got in approx_results:
+        got = got.to_pandas()
         gset = set(zip(got["query_id"].astype(int),
                        got["neighbor_id"].astype(int)))
         inter = len(gset & eset)
@@ -463,6 +449,41 @@ def q_ann_recall(sf_dir: str):
         "n_match": pa.array([r[3] for r in rows], pa.int64()),
         "recall_c": pa.array([r[4] for r in rows], pa.int64()),
     })
+
+
+def _ann_approx_legs(sf_dir: str, pool):
+    """Submit the two approximate ANN pipelines overlapped on driver
+    threads; returns [(method, future), …] in the fixed ivf, lsh
+    order. n_bits=4 (16 buckets): the synthetic embeddings are
+    near-orthogonal, so hyperplane agreement for a true-neighbor pair
+    is barely above chance — finer buckets (the 8-bit default) drive
+    recall to ~0 on THIS data shape. The clustered-data recall
+    contracts live in tests/test_similarity.py."""
+    qids, k = list(range(8)), 5
+    return [
+        ("ivf", pool.submit(similarity.ivf_topk, _emb(sf_dir),
+                            query_ids=qids, k=k)),
+        ("lsh", pool.submit(similarity.lsh_topk, _emb(sf_dir),
+                            n_bits=4, query_ids=qids, k=k)),
+    ]
+
+
+def q_ann_recall(sf_dir: str):
+    """Driver-visible accuracy artifact for BOTH approximate ANN paths
+    (LSH random-hyperplane buckets; IVF k-means cells + multi-probe):
+    one row per method with its top-k recall against the exact
+    brute-force path, as scaled ints — flips the formerly rows-only
+    entries to value-checked (golden pins the deterministic result;
+    the golden's exact side is independently recomputed with plain
+    numpy in tools/make_goldens.py). The three pipelines (exact, IVF,
+    LSH) are independent and run overlapped on driver threads."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        fe = pool.submit(q_ann_topk, sf_dir)
+        legs = _ann_approx_legs(sf_dir, pool)
+        return _ann_recall_table(fe.result(),
+                                 [(m, f.result()) for m, f in legs])
 
 
 def q_semdedup(sf_dir: str):
@@ -554,18 +575,24 @@ def q_ann(sf_dir: str):
       kind='recall:ivf' / 'recall:lsh' — the approximate paths'
           top-k recall vs exact (a=n_expected, b=n_got, c=n_match,
           d=recall_c); golden oracle (exact side independently
-          recomputed in tools/make_goldens.py)."""
+          recomputed in tools/make_goldens.py).
+
+    The exact brute-force pipeline runs ONCE and serves both the topk
+    leg and the recall denominators; exact, IVF and LSH overlap on
+    driver threads."""
     import pyarrow as pa
 
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=2) as pool:
+    with ThreadPoolExecutor(max_workers=3) as pool:
         ft = pool.submit(q_ann_topk, sf_dir)
-        fr = pool.submit(q_ann_recall, sf_dir)
-        topk = _tagged("topk", ft.result(),
+        legs_f = _ann_approx_legs(sf_dir, pool)
+        exact = ft.result()
+        topk = _tagged("topk", exact,
                        ["query_id", "rank", "neighbor_id", "cos_c"],
                        ["a", "b", "c", "d"])
-        rec = fr.result()
+        rec = _ann_recall_table(exact,
+                                [(m, f.result()) for m, f in legs_f])
         legs = [topk]
         for row in rec.to_pylist():
             legs.append(pa.table({

@@ -54,24 +54,42 @@ SCALE = 1 << 20
 SIM_ONE = 1 << 40
 
 
+def _list_matrix(col, dtype) -> np.ndarray:
+    """list<numeric> column → (n, dim) matrix without a Python list
+    round-trip: one flatten + reshape (all rows share the embedding
+    dim — the column's construction invariant)."""
+    ca = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if len(ca) == 0:
+        return np.empty((0, 0), dtype)
+    flat = ca.flatten().to_numpy(zero_copy_only=False).astype(dtype)
+    return flat.reshape(len(ca), -1)
+
+
+def _matrix_list(m: np.ndarray) -> pa.ListArray:
+    """(n, dim) int64 matrix → list<int64> array, one offsets+values
+    construction (no per-row Python)."""
+    n, d = m.shape
+    if n == 0 or d == 0:
+        return pa.array([[]] * n, pa.list_(pa.int64()))
+    offsets = pa.array(np.arange(0, (n + 1) * d, d, dtype=np.int32))
+    return pa.ListArray.from_arrays(offsets, pa.array(m.reshape(-1)))
+
+
 def quantize_embeddings(t: pa.Table, emb_col: str = "embedding") -> pa.Table:
     """(vec_id, q: list<int64>) — L2-normalize float64, quantize ×2²⁰
     half-up. Zero vectors quantize to the zero vector."""
-    x = np.array(t[emb_col].to_pylist(), dtype=np.float64)
-    if x.ndim == 1:  # zero rows
-        x = x.reshape(0, 0)
+    x = _list_matrix(t[emb_col], np.float64)
     n = np.sqrt(np.sum(x * x, axis=1, keepdims=True))
     n[n == 0.0] = 1.0
     q = np.floor(x / n * SCALE + 0.5).astype(np.int64)
     return pa.table({
         "vec_id": t["vec_id"],
-        "q": pa.array(list(q), pa.list_(pa.int64())),
+        "q": _matrix_list(q),
     })
 
 
 def _qmatrix(col) -> np.ndarray:
-    m = np.array(col.to_pylist(), dtype=np.int64)
-    return m if m.ndim == 2 else m.reshape(0, 0)
+    return _list_matrix(col, np.int64)
 
 
 def _assign(X: np.ndarray, cent: np.ndarray) -> np.ndarray:
@@ -80,6 +98,14 @@ def _assign(X: np.ndarray, cent: np.ndarray) -> np.ndarray:
     (np.argmin picks the first minimum)."""
     score = -2 * (X @ cent.T) + np.sum(cent * cent, axis=1)[None, :]
     return np.argmin(score, axis=1).astype(np.int64)
+
+
+def _init_pick(x: np.ndarray, n_clusters: int, seed: int) -> np.ndarray:
+    """The seeded choice-without-replacement over the vec_id-ascending
+    sample matrix — shared by both init paths so they are bit-equal."""
+    rng = np.random.default_rng(seed)
+    pick = rng.choice(len(x), size=min(n_clusters, len(x)), replace=False)
+    return x[pick].copy()
 
 
 def init_centroids(qds, n_clusters: int, init_sample: int,
@@ -95,19 +121,88 @@ def init_centroids(qds, n_clusters: int, init_sample: int,
     df = qds.map_batches(grab, batch_format="pyarrow").to_pandas()
     df = df.sort_values("vec_id")
     x = np.array(df["q"].to_list(), dtype=np.int64)
-    rng = np.random.default_rng(seed)
-    pick = rng.choice(len(x), size=min(n_clusters, len(x)), replace=False)
-    return x[pick].copy()
+    return _init_pick(x, n_clusters, seed)
+
+
+# Per-Lloyd-round reduce path gate: each block's partial is one
+# (k counts, k × d sums) pair, so folding the partials on the driver
+# touches ≤ n_blocks × k rows — bounded by the block count, never the
+# corpus. Below this budget the rounds run as one raw Ray task per
+# pinned block (the engine's bounded-model-state layout — see
+# ops/exchange.py and stages/canonicalize.launch_pair_partials) with a
+# driver numpy fold, skipping per-round Dataset-job fixed costs; at
+# cluster scale (many blocks × large k) the Dataset map + two-phase
+# hash_aggregate takes over — same exact integer sums either way.
+DRIVER_FOLD_BUDGET_ROWS = 1 << 18
+
+
+def _lazy_tasks():
+    """ray.remote wrappers created on first use (keeps module import
+    free of a ray dependency, like ops/exchange.py)."""
+    global _INIT_TASK, _ROUND_TASK
+    if "_ROUND_TASK" in globals():
+        return
+    import ray
+
+    @ray.remote
+    def _init_task(init_sample, blk):
+        import pyarrow.compute as pc
+        return blk.filter(pc.less(blk["vec_id"], pa.scalar(init_sample)))
+
+    @ray.remote
+    def _round_task(cent, n_clusters, blk):
+        X = _qmatrix(blk["q"])
+        if not len(X):
+            return None
+        a = _assign(X, cent)
+        cnt = np.bincount(a, minlength=n_clusters).astype(np.int64)
+        sums = np.zeros((n_clusters, X.shape[1]), np.int64)
+        np.add.at(sums, a, X)
+        return cnt, sums
+
+    _INIT_TASK, _ROUND_TASK = _init_task, _round_task
+
+
+def _pinned_blocks(qds) -> list:
+    """Block refs of a materialized dataset (kept alive by the list)."""
+    refs = []
+    for bundle in qds.iter_internal_ref_bundles():
+        for blk, _ in bundle.blocks:
+            refs.append(blk)
+    return refs
 
 
 def kmeans_fit(qds, n_clusters: int = 8, iters: int = 4,
                init_sample: int = 128, seed: int = 23) -> np.ndarray:
     """Distributed Lloyd over the full quantized corpus; returns the
-    int64 (k × d) codebook. Per round the driver folds exactly k
-    aggregate rows — never the corpus."""
+    int64 (k × d) codebook. Per round the driver folds k aggregate
+    rows (≤ n_blocks × k partial rows under the gate) — never the
+    corpus."""
+    import ray
+
     from ..ops.hashagg import hash_aggregate
 
-    cent = init_centroids(qds, n_clusters, init_sample, seed)
+    try:
+        n_blocks = qds.num_blocks()
+    except Exception:  # non-materialized input: Dataset path
+        n_blocks = None
+    driver_fold = (n_blocks is not None
+                   and n_blocks * n_clusters <= DRIVER_FOLD_BUDGET_ROWS)
+
+    if driver_fold:
+        _lazy_tasks()
+        refs = _pinned_blocks(qds)
+        grabbed = [t for t in ray.get(
+            [_INIT_TASK.remote(init_sample, r) for r in refs])
+            if t.num_rows]
+        samp = (pa.concat_tables(grabbed).sort_by([("vec_id", "ascending")])
+                if grabbed else None)
+        cent = _init_pick(
+            _qmatrix(samp["q"]) if samp is not None
+            else np.empty((0, 0), np.int64), n_clusters, seed)
+    else:
+        refs = None
+        cent = init_centroids(qds, n_clusters, init_sample, seed)
     if not len(cent):
         return cent
     dim = cent.shape[1]
@@ -115,6 +210,24 @@ def kmeans_fit(qds, n_clusters: int = 8, iters: int = 4,
 
     for _ in range(iters):
         c_now = cent  # bind per round for the closure
+        new = cent.copy()
+
+        if driver_fold:
+            cent_ref = ray.put(c_now)
+            outs = ray.get([_ROUND_TASK.remote(cent_ref, n_clusters, r)
+                            for r in refs])
+            cnt = np.zeros(n_clusters, np.int64)
+            sums = np.zeros((n_clusters, dim), np.int64)
+            for o in outs:
+                if o is not None:
+                    cnt += o[0]
+                    sums += o[1]
+            nz = np.flatnonzero(cnt)
+            new[nz] = np.floor(
+                sums[nz] / cnt[nz, None].astype(np.float64)
+                + 0.5).astype(np.int64)
+            cent = new
+            continue
 
         def partial(t: pa.Table) -> pa.Table:
             X = _qmatrix(t["q"])
@@ -140,7 +253,6 @@ def kmeans_fit(qds, n_clusters: int = 8, iters: int = 4,
             + [(s, "sum", s) for s in scols],
             num_buckets=min(8, n_clusters))
         rows = agg.take_all()  # ≤ k rows: bounded model state
-        new = cent.copy()
         for r in rows:
             c = int(r["cluster"])
             n = float(r["n"])
