@@ -88,6 +88,28 @@ def test_leader_set_properties(ray_session, golden, emb_df):
             assert int(row.dup_of) == min(hits)
 
 
+def test_kmeans_paths_bit_equal(ray_session, monkeypatch):
+    """kmeans_fit has two reduce layouts — raw-task per pinned block +
+    driver numpy fold (small block counts) and Dataset map + two-phase
+    hash_aggregate (cluster scale). Both must produce the SAME int64
+    codebook, bit for bit, since both compute exact integer sums."""
+    import ray
+
+    from gfftoneo4j_ray.stages import semdedup as sd
+
+    ds = ray.data.read_parquet(
+        f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"],
+        override_num_blocks=5)
+    qds = ds.map_batches(sd.quantize_embeddings,
+                         batch_format="pyarrow").materialize()
+    assert qds.num_blocks() * 8 <= sd.DRIVER_FOLD_BUDGET_ROWS
+    cent_fold = sd.kmeans_fit(qds)
+    monkeypatch.setattr(sd, "DRIVER_FOLD_BUDGET_ROWS", 0)
+    cent_agg = sd.kmeans_fit(qds)
+    np.testing.assert_array_equal(cent_fold, cent_agg)
+    assert cent_fold.dtype == np.int64 and len(cent_fold) == 8
+
+
 def test_quantize_zero_and_empty(ray_session):
     """Zero vectors quantize to zero (no div-by-zero); empty batches
     pass through with the right schema."""
