@@ -213,6 +213,26 @@ def q_kg_pagerank(sf_dir: str):
     return pr.map_batches(scale, batch_format="pyarrow")
 
 
+def q_kg_stats(sf_dir: str):
+    """Per-node degree / triangle-count / local-clustering stats over
+    the undirected distinct view of the constructed KG (distributed
+    degree-orientation triangle counting, ops/graph_algos.py); oracle
+    = the same definition in SQL over the golden edges (LEAST/GREATEST
+    normalization, a<b<c string-ordered triangle join, integer-exact
+    scaled lcc)."""
+    import pyarrow as pa
+    import ray
+
+    res = _ensure_kg_run(sf_dir)
+    edges = ray.data.read_parquet(res["edges_dir"], columns=["src", "dst"])
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["node_id", "degree", "triangles", "lcc_c"])
+
+    return graph_algos.graph_stats(edges).map_batches(
+        rename, batch_format="pyarrow")
+
+
 def q_mm_features(sf_dir: str):
     """Both multimodal plumbing stages in one driver slot (tagged
     union): ``kind='payload'`` rows from the PayloadFeaturizer actor
@@ -734,6 +754,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # graph analytics over the constructed KG (ops/graph_algos.py)
         "q_kg_components": q_kg_components,
         "q_kg_pagerank": q_kg_pagerank,
+        "q_kg_stats": q_kg_stats,
         # relational operator inventory (SURVEY.md §2) — all oracle-checked
         "q_parse_attrs": R.q_parse_attrs,
         "q_filter_project": R.q_filter_project,
@@ -1296,6 +1317,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT node AS node_id,
                    CAST(FLOOR(pr * 1000000 + 0.5) AS BIGINT) AS pr_c
             FROM p3
+        """,
+        "q_kg_stats": r"""
+            WITH e0 AS (
+                SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+                FROM read_parquet('/root/repo/gfftoneo4j_ray/goldens/sf0_01_kg_edges.parquet')
+                WHERE src <> dst
+            ),
+            deg AS (
+                SELECT node, COUNT(*) AS degree FROM (
+                    SELECT a AS node FROM e0
+                    UNION ALL SELECT b AS node FROM e0)
+                GROUP BY node
+            ),
+            tri AS (
+                SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                FROM e0 e1
+                JOIN e0 e2 ON e2.a = e1.b
+                JOIN e0 e3 ON e3.a = e1.a AND e3.b = e2.b
+            ),
+            tcnt AS (
+                SELECT node, COUNT(*) AS triangles FROM (
+                    SELECT x AS node FROM tri
+                    UNION ALL SELECT y AS node FROM tri
+                    UNION ALL SELECT z AS node FROM tri)
+                GROUP BY node
+            )
+            SELECT deg.node AS node_id,
+                   deg.degree,
+                   COALESCE(tcnt.triangles, 0) AS triangles,
+                   CASE WHEN deg.degree >= 2 THEN
+                       (2 * COALESCE(tcnt.triangles, 0) * 1000000
+                        + (deg.degree * (deg.degree - 1)) // 2)
+                       // (deg.degree * (deg.degree - 1))
+                   ELSE 0 END AS lcc_c
+            FROM deg LEFT JOIN tcnt ON tcnt.node = deg.node
         """,
         "q_corpus_prep": r"""
             WITH split AS (

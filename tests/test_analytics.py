@@ -306,6 +306,51 @@ def test_pagerank_matches_dense_reference(ray_session):
         assert abs(val - want[node]) < 1e-12
 
 
+def test_graph_stats_matches_brute_force(ray_session):
+    """Distributed degree-orientation triangle counting equals an
+    all-pairs brute-force reference on a random graph with self-loops
+    and duplicated reversed edges mixed in."""
+    import itertools
+    import random
+
+    import ray
+
+    from gfftoneo4j_ray.ops.graph_algos import graph_stats
+
+    rng = random.Random(7)
+    nodes = [f"n{i:02d}" for i in range(30)]
+    pairs = set()
+    for _ in range(120):
+        a, b = rng.sample(nodes, 2)
+        pairs.add((a, b))
+    some = list(pairs)[:10]
+    src = [a for a, b in pairs] + ["n00", "n05"] + [b for a, b in some]
+    dst = [b for a, b in pairs] + ["n00", "n05"] + [a for a, b in some]
+    got = graph_stats(
+        ray.data.from_arrow(pa.table({"src": src, "dst": dst})),
+        num_buckets=4).to_pandas().sort_values("node") \
+        .reset_index(drop=True)
+
+    und = {(min(a, b), max(a, b)) for a, b in zip(src, dst) if a != b}
+    adj: dict[str, set[str]] = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    assert list(got["node"]) == sorted(adj)
+    for _, row in got.iterrows():
+        nbrs = adj[row["node"]]
+        d = len(nbrs)
+        t = sum(1 for v, w in itertools.combinations(sorted(nbrs), 2)
+                if (v, w) in und)
+        dd = d * (d - 1)
+        assert row["degree"] == d
+        assert row["triangles"] == t
+        assert row["lcc_c"] == ((2 * t * 1_000_000 + dd // 2) // dd
+                                if dd else 0)
+    # sanity: the graph actually has triangles to count
+    assert got["triangles"].sum() > 0
+
+
 def test_pagerank_checkpointed_equals_inmemory_and_resumes(
         ray_session, tmp_path):
     """checkpoint_dir mode returns the same ranks as the in-memory
