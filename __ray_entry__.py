@@ -403,6 +403,57 @@ def q_dedup_exact(sf_dir: str):
     return dedup.exact_dedup(_docs(sf_dir))
 
 
+def q_url_dedup(sf_dir: str):
+    """URL canonicalization + keep-latest dedup (stages/dedup.py::
+    url_dedup over the vectorized functions/url.py kernel), driven by
+    deterministic messy url variants derived from doc_id (mixed-case
+    hosts, www., default ports, tracking params, fragments, trailing
+    slashes; docs collide per gid = doc_id // 3). The SQL oracle
+    derives the SAME variants and states the expected canonical form
+    and winner directly from the arithmetic — so the slot checks the
+    whole messy → canonical → keep-latest path end-to-end (the
+    kernel-vs-urllib equivalence is pinned separately in pytest)."""
+    import numpy as np
+    import pyarrow as pa
+
+    def mess(t: pa.Table) -> pa.Table:
+        # synthetic messy-variant derivation (harness input, not an
+        # engine path) — np.char keeps it off the Python-per-row floor
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        gid, k, v = d // 3, (d // 3) % 7, d % 5
+        gs = np.char.mod("%d", gid)
+        ks = np.char.mod("%d", k)
+        ds_ = np.char.mod("%d", d)
+
+        def cat(*parts):
+            out = parts[0] if isinstance(parts[0], np.ndarray) else \
+                np.full(len(d), parts[0], dtype=object)
+            out = out.astype(object)
+            for p in parts[1:]:
+                out = out + (p.astype(object)
+                             if isinstance(p, np.ndarray) else p)
+            return out
+
+        u0 = cat("https://Site", ks, ".Example.com/a/", gs)
+        u1 = cat("https://www.site", ks, ".example.com:443/a/", gs, "/")
+        u2 = cat("HTTPS://SITE", ks, ".EXAMPLE.COM/a/", gs,
+                 "?utm_source=mail&utm_c=2")
+        u3 = cat("https://site", ks, ".example.com/a/", gs, "#frag", ds_)
+        u4 = cat("http://www.Site", ks, ".Example.com:80/a/", gs,
+                 "?fbclid=abc")
+        url = np.select([v == 0, v == 1, v == 2, v == 3],
+                        [u0, u1, u2, u3], default=u4)
+        ts = 1600000000000000 + d * 1000000
+        return pa.table({
+            "url": pa.array(url.tolist(), pa.string()),
+            "warc_ts": pa.array(ts, pa.int64()),
+        })
+
+    pages = _docs(sf_dir, columns=("doc_id",)).map_batches(
+        mess, batch_format="pyarrow")
+    return dedup.url_dedup(pages, url_col="url", ts_col="warc_ts")
+
+
 def q_substring_dedup(sf_dir: str):
     """Exact substring dedup (Lee et al. 2021 ExactSubstr over
     whitespace tokens): tokens covered by any 5-token span occurring in
@@ -799,6 +850,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_corpus_prep": q_corpus_prep,  # line_dedup+contam+pack+mixture
         "q_doc_signatures": q_doc_signatures,  # langid+fp+simhash+stats
         "q_dedup_exact": q_dedup_exact,
+        "q_url_dedup": q_url_dedup,
         "q_substring_dedup": q_substring_dedup,  # ExactSubstr, full SQL
         "q_neardup": q_neardup,  # jaccard ∪ simhash ∪ minhash ∪ emb
         "q_semdedup": q_semdedup,  # k-means + in-cluster cosine, golden
@@ -1411,6 +1463,44 @@ def oracle_sql() -> dict[str, str]:
         "q_dedup_exact": r"""
             SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dups
             FROM documents GROUP BY text
+        """,
+        "q_url_dedup": r"""
+            -- the same deterministic messy-variant derivation as the
+            -- Ray side, with the canonical form and winner stated
+            -- directly from the arithmetic: variants 0-3 canonicalize
+            -- to https://site{k}.example.com/a/{gid}, variant 4 (http)
+            -- to its http:// twin; ts grows with doc_id, so the
+            -- keep-latest winner is MAX(doc_id) per canonical url.
+            WITH m AS (
+                SELECT doc_id,
+                       1600000000000000 + doc_id * 1000000 AS ts,
+                       CASE WHEN doc_id % 5 = 4 THEN 'http' ELSE 'https'
+                       END || '://site' || ((doc_id // 3) % 7)
+                          || '.example.com/a/' || (doc_id // 3)
+                          AS canon_url,
+                       CASE doc_id % 5
+                           WHEN 0 THEN 'https://Site' || ((doc_id // 3) % 7)
+                               || '.Example.com/a/' || (doc_id // 3)
+                           WHEN 1 THEN 'https://www.site' || ((doc_id // 3) % 7)
+                               || '.example.com:443/a/' || (doc_id // 3) || '/'
+                           WHEN 2 THEN 'HTTPS://SITE' || ((doc_id // 3) % 7)
+                               || '.EXAMPLE.COM/a/' || (doc_id // 3)
+                               || '?utm_source=mail&utm_c=2'
+                           WHEN 3 THEN 'https://site' || ((doc_id // 3) % 7)
+                               || '.example.com/a/' || (doc_id // 3)
+                               || '#frag' || doc_id
+                           ELSE 'http://www.Site' || ((doc_id // 3) % 7)
+                               || '.Example.com:80/a/' || (doc_id // 3)
+                               || '?fbclid=abc'
+                       END AS url
+                FROM documents
+            ),
+            w AS (
+                SELECT canon_url, MAX(doc_id) AS wid, COUNT(*) AS n_dups
+                FROM m GROUP BY canon_url
+            )
+            SELECT w.canon_url, m.url, m.ts, w.n_dups
+            FROM w JOIN m ON m.doc_id = w.wid
         """,
         "q_substring_dedup": r"""
             -- ExactSubstr dedup, window=5: ban 5-token grams seen in

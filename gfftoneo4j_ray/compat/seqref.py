@@ -215,3 +215,38 @@ def sequential_semdedup(vec_ids, embeddings, n_clusters=8, iters=4,
         "kept": pa.array(kept),
         "dup_of": pa.array(dup_of, pa.int64(), mask=dup_of < 0),
     })
+
+
+def sequential_canonical_url(url: str | None) -> str | None:
+    """Independent (stdlib urllib.parse + str methods) implementation
+    of the functions/url.py canonicalization spec — the test reference
+    the vectorized RE2 kernel is checked against. Deliberately shares
+    no code with the engine kernel."""
+    import re
+    from urllib.parse import urlsplit
+
+    if url is None:
+        return None
+    u = url.split("#", 1)[0]
+    m = re.match(r"^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#]*)([^?#]*)"
+                 r"(?:\?(.*))?$", u, re.DOTALL)
+    if m is None:
+        return u
+    sp = urlsplit(u)
+    scheme = sp.scheme.lower()
+    netloc = sp.netloc.lower()
+    if netloc.startswith("www."):
+        netloc = netloc[4:]
+    if scheme == "http" and netloc.endswith(":80"):
+        netloc = netloc[:-3]
+    elif scheme == "https" and netloc.endswith(":443"):
+        netloc = netloc[:-4]
+    path = sp.path.rstrip("/") or "/"
+    out = f"{scheme}://{netloc}{path}"
+    if "?" in u.split("#", 1)[0]:
+        params = [p for p in sp.query.split("&")
+                  if p and not re.match(r"^(utm_[^=]*|gclid|fbclid)(=|$)",
+                                        p)]
+        if params:
+            out += "?" + "&".join(params)
+    return out

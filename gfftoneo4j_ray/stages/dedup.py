@@ -1634,3 +1634,63 @@ def substring_dedup(docs_ds, window: int = 50, max_doc_freq: int = 1,
     both = docs_ds.map_batches(tag_docs, batch_format="pyarrow").union(
         hits.map_batches(tag_hits, batch_format="pyarrow"))
     return bucketed_map_groups(both, num_buckets, rewrite_bucket)
+
+
+def url_dedup(pages_ds, url_col: str = "url", ts_col: str = "warc_ts",
+              *, num_buckets: int = 32):
+    """Keep the LATEST fetch per canonical url — the standard
+    rolling-crawl URL-level dedup (canonicalize, then one winner per
+    canonical form; cf. Dolma's url dedup). Winner = max (ts, url)
+    per canonical url (the url tiebreak makes equal-timestamp refetches
+    deterministic). Returns (canon_url, url, ts, n_dups) with the
+    winner's original url/ts and the group size.
+
+    Scale: canonicalization is the vectorized functions/url.py kernel,
+    map-side; the per-batch local arg-max means only one slim row per
+    (batch, canonical url) rides the exchange — the text/html payload
+    never moves. Rows with null url are dropped."""
+    from ..functions.url import canonical_url
+    from ..ops.exchange import bucketed_map_groups
+    from ..ops.hashagg import append_bucket
+
+    out_schema = pa.schema([("canon_url", pa.string()),
+                            ("url", pa.string()),
+                            ("ts", pa.int64()),
+                            ("n_dups", pa.int64())])
+
+    def reduce_rows(t: pa.Table) -> pa.Table:
+        """First row per canon run of a (canon asc, ts desc, url desc)
+        sort, with the run's cnt column summed. 0-row-safe."""
+        if t.num_rows == 0:
+            return t
+        t = t.sort_by([("canon_url", "ascending"), ("ts", "descending"),
+                       ("url", "descending")])
+        c = t["canon_url"].to_numpy(zero_copy_only=False)
+        starts = np.r_[0, np.flatnonzero(c[1:] != c[:-1]) + 1]
+        cnt = t["cnt"].to_numpy(zero_copy_only=False)
+        sums = np.add.reduceat(cnt, starts)
+        t = t.take(pa.array(starts, pa.int64()))
+        return t.set_column(t.schema.get_field_index("cnt"), "cnt",
+                            pa.array(sums, pa.int64()))
+
+    def partial(t: pa.Table) -> pa.Table:
+        canon = canonical_url(t[url_col])
+        ts = t[ts_col]
+        if pa.types.is_timestamp(ts.type):
+            ts = ts.cast(pa.int64())
+        slim = pa.table({"canon_url": canon,
+                         "url": t[url_col],
+                         "ts": ts,
+                         "cnt": pa.array(np.ones(t.num_rows, np.int64))})
+        slim = slim.filter(pc.is_valid(slim["canon_url"]))
+        return append_bucket(reduce_rows(slim), ["canon_url"],
+                             num_buckets)
+
+    def final(g: pa.Table) -> pa.Table:
+        g = reduce_rows(g)
+        return pa.table({"canon_url": g["canon_url"], "url": g["url"],
+                         "ts": g["ts"], "n_dups": g["cnt"]},
+                        schema=out_schema)
+
+    mapped = pages_ds.map_batches(partial, batch_format="pyarrow")
+    return bucketed_map_groups(mapped, num_buckets, final)
