@@ -454,6 +454,18 @@ def q_url_dedup(sf_dir: str):
     return dedup.url_dedup(pages, url_col="url", ts_col="warc_ts")
 
 
+def q_bpe_merges(sf_dir: str):
+    """Distributed BPE vocabulary training (stages/bpe.py: one
+    corpus-scale tokenize+count pass, then a vocab-bounded merge loop
+    over pinned blocks), 40 merges over documents.text; oracle = the
+    independent sequential dict/Counter trainer
+    (compat/seqref.sequential_bpe) recomputed by tools/make_goldens.py
+    into the committed golden."""
+    from gfftoneo4j_ray.stages.bpe import train_bpe
+
+    return train_bpe(_docs(sf_dir, columns=("text",)), n_merges=40)
+
+
 def q_substring_dedup(sf_dir: str):
     """Exact substring dedup (Lee et al. 2021 ExactSubstr over
     whitespace tokens): tokens covered by any 5-token span occurring in
@@ -851,6 +863,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_signatures": q_doc_signatures,  # langid+fp+simhash+stats
         "q_dedup_exact": q_dedup_exact,
         "q_url_dedup": q_url_dedup,
+        "q_bpe_merges": q_bpe_merges,
         "q_substring_dedup": q_substring_dedup,  # ExactSubstr, full SQL
         "q_neardup": q_neardup,  # jaccard ∪ simhash ∪ minhash ∪ emb
         "q_semdedup": q_semdedup,  # k-means + in-cluster cosine, golden
@@ -1501,6 +1514,10 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT w.canon_url, m.url, m.ts, w.n_dups
             FROM w JOIN m ON m.doc_id = w.wid
+        """,
+        "q_bpe_merges": r"""
+            SELECT rank, "left", "right", pair_count
+            FROM read_parquet('/root/repo/gfftoneo4j_ray/goldens/sf0_01_bpe.parquet')
         """,
         "q_substring_dedup": r"""
             -- ExactSubstr dedup, window=5: ban 5-token grams seen in

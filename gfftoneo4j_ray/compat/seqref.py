@@ -250,3 +250,47 @@ def sequential_canonical_url(url: str | None) -> str | None:
         if params:
             out += "?" + "&".join(params)
     return out
+
+
+def sequential_bpe(texts, n_merges: int, token_re=None):
+    """Independent single-process BPE trainer (Sennrich et al. 2016,
+    classic dict/Counter formulation) — the reference the distributed
+    stages/bpe.py trainer is checked against. Spec shared by both:
+    words = lowercased ``[\\w'-]+`` tokens; initial symbols = unicode
+    chars + a final ``</w>`` marker; per round merge the (left, right)
+    adjacent pair with the highest corpus-weighted count, ties to the
+    lexicographically smallest (left, right); stop early when no pairs
+    remain. Returns [(rank, left, right, pair_count)]."""
+    import re
+    from collections import Counter
+
+    tok = token_re or re.compile(r"[\w'-]+")
+    words = Counter()
+    for t in texts:
+        words.update(tok.findall((t or "").lower()))
+    vocab = {tuple(w) + ("</w>",): c for w, c in words.items()}
+    merges = []
+    for rank in range(n_merges):
+        pairs: Counter = Counter()
+        for sym, c in vocab.items():
+            for a, b in zip(sym, sym[1:]):
+                pairs[(a, b)] += c
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        (left, right), cnt = best
+        merges.append((rank, left, right, int(cnt)))
+        new_vocab = {}
+        for sym, c in vocab.items():
+            out, i = [], 0
+            while i < len(sym):
+                if (i + 1 < len(sym) and sym[i] == left
+                        and sym[i + 1] == right):
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + c
+        vocab = new_vocab
+    return merges

@@ -309,6 +309,25 @@ def main() -> None:
     print("semdedup golden:", sem.num_rows, "rows,",
           int(pa.compute.sum(pa.compute.invert(sem["kept"])).as_py() or 0),
           "dropped")
+
+    # --- BPE merges golden (sequential dict/Counter reference) ---------
+    # compat/seqref.sequential_bpe: the independent classic trainer;
+    # the distributed stages/bpe.py trainer must reproduce it exactly
+    # (pinned in tests/test_bpe.py at sf0.001; this golden pins sf0.01
+    # for the driver's DuckDB oracle).
+    from gfftoneo4j_ray.compat.seqref import sequential_bpe
+
+    texts = pq.read_table(os.path.join(SF, "documents.parquet"),
+                          columns=["text"])["text"].to_pylist()
+    merges = sequential_bpe(texts, 40)
+    pq.write_table(pa.table({
+        "rank": pa.array([m[0] for m in merges], pa.int64()),
+        "left": pa.array([m[1] for m in merges], pa.string()),
+        "right": pa.array([m[2] for m in merges], pa.string()),
+        "pair_count": pa.array([m[3] for m in merges], pa.int64()),
+    }), os.path.join(OUT, "sf0_01_bpe.parquet"))
+    print("bpe golden:", len(merges), "merges, top:",
+          merges[0] if merges else None)
     ray.shutdown()
 
 
