@@ -844,6 +844,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_grouping_sets": S.q_grouping_sets,
         "q_count_distinct": S.q_count_distinct,
         "q_quantile_hist": S.q_quantile_hist,
+        "q_quantile_select": S.q_quantile_select,
         "q_arg_max": S.q_arg_max,
         "q_numeric_stats": S.q_numeric_stats,
         "q_sample_hash": S.q_sample_hash,
@@ -1093,6 +1094,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag,
                    COUNT(DISTINCT l_partkey) AS n_distinct_parts
             FROM lineitem GROUP BY l_returnflag
+        """,
+        "q_quantile_select": r"""
+            WITH v AS (SELECT event_type,
+                              CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS vc
+                       FROM events),
+            r AS (SELECT event_type, vc,
+                         ROW_NUMBER() OVER (PARTITION BY event_type
+                                            ORDER BY vc) AS rn,
+                         COUNT(*) OVER (PARTITION BY event_type) AS n
+                  FROM v)
+            SELECT event_type, 'p50' AS q, vc AS value_c
+            FROM r WHERE rn = (n + 1) // 2
+            UNION ALL
+            SELECT event_type, 'p95' AS q, vc AS value_c
+            FROM r WHERE rn = (19*n + 19) // 20
         """,
         "q_quantile_hist": r"""
             SELECT l_returnflag,

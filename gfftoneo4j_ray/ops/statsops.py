@@ -439,3 +439,123 @@ def q_dim_rollups(sf_dir: str):
     nation = q_supplier_nation(sf_dir).map_batches(tag_nation,
                                                    batch_format="pyarrow")
     return brand.union(nation)
+
+
+# ---------------------------------------------------------------------------
+# Exact quantile selection over an UNBOUNDED value domain
+# ---------------------------------------------------------------------------
+
+def quantile_select(ds, key_col: str, qs=(("p50", 1, 2), ("p95", 19, 20)),
+                    *, branch: int = 1024, num_buckets: int = 4):
+    """EXACT per-key disc quantiles of an int64 ``vc`` column by
+    iterative range refinement — the unbounded-domain complement of
+    :func:`q_quantile_hist` (whose exchange is bounded by the value
+    DOMAIN; this one never assumes a bounded domain).
+
+    ``qs``: (label, num, den) rational quantiles; the answer is the
+    k-th smallest value per key with k = ceil(num·n/den) — the same
+    quantile_disc convention as q_quantile_hist, integer-exact.
+
+    Algorithm (classic distributed k-th selection): keep one active
+    range [lo, hi] per (key, quantile); per round, ONE pass over the
+    data counts values into ≤ ``branch`` equal-width sub-ranges per
+    item (map-side np.bincount partials, merged by a small hashagg —
+    the exchange is ≤ items × branch rows regardless of data size),
+    then each item narrows to the sub-range containing its remaining
+    rank. Ranges shrink ×branch per round, so rounds =
+    ceil(log_branch(value range)) — 2-3 passes for any int64 data.
+    Driver state is items × O(1); items = |key domain| × |qs| (the
+    key domain must be bounded — salt/partition the call for
+    unbounded key spaces).
+
+    Returns an arrow table (key, q, value_c) sorted by (key, q).
+    """
+    ds = ds.materialize()   # consumed once per round
+
+    stats = hash_aggregate(
+        ds, key_col,
+        [("vc", "count", "n"), ("vc", "min", "lo"), ("vc", "max", "hi")],
+        num_buckets=num_buckets).to_arrow_refs()
+    import ray
+
+    sdf = pa.concat_tables([t for t in ray.get(stats)]).to_pandas()
+
+    items = []
+    for _, row in sdf.iterrows():
+        for label, num, den in qs:
+            k = (num * int(row["n"]) + den - 1) // den
+            items.append({"key": row[key_col], "q": label,
+                          "rank": max(1, k),
+                          "lo": int(row["lo"]), "hi": int(row["hi"])})
+
+    while any(it["hi"] > it["lo"] for it in items):
+        snap = [dict(it) for it in items]
+
+        def count_fn(t: pa.Table, snap=snap) -> pa.Table:
+            keys = t[key_col].to_numpy(zero_copy_only=False)
+            vc = t["vc"].to_numpy(zero_copy_only=False)
+            out_i, out_b, out_n = [], [], []
+            for i, it in enumerate(snap):
+                if it["hi"] <= it["lo"]:
+                    continue
+                m = (keys == it["key"]) & (vc >= it["lo"]) & \
+                    (vc <= it["hi"])
+                if not m.any():
+                    continue
+                width = it["hi"] - it["lo"] + 1
+                bw = -(-width // branch)
+                cnt = np.bincount((vc[m] - it["lo"]) // bw)
+                nz = np.flatnonzero(cnt)
+                out_i.append(np.full(len(nz), i, np.int64))
+                out_b.append(nz.astype(np.int64))
+                out_n.append(cnt[nz].astype(np.int64))
+            if not out_i:
+                # "sub", not "bucket" — hash_aggregate's exchange
+                # appends its own internal "bucket" column
+                return pa.table({"item": pa.array([], pa.int64()),
+                                 "sub": pa.array([], pa.int64()),
+                                 "n": pa.array([], pa.int64())})
+            return pa.table({"item": pa.array(np.concatenate(out_i)),
+                             "sub": pa.array(np.concatenate(out_b)),
+                             "n": pa.array(np.concatenate(out_n))})
+
+        counts = hash_aggregate(
+            ds.map_batches(count_fn, batch_format="pyarrow"),
+            ["item", "sub"], [("n", "sum", "n")],
+            num_buckets=num_buckets).to_pandas() \
+            .sort_values(["item", "sub"])
+
+        for i, it in enumerate(items):
+            if it["hi"] <= it["lo"]:
+                continue
+            sub = counts[counts["item"] == i]
+            cum = sub["n"].to_numpy().cumsum()
+            j = int(np.searchsorted(cum, it["rank"]))
+            b = int(sub["sub"].to_numpy()[j])
+            width = it["hi"] - it["lo"] + 1
+            bw = -(-width // branch)
+            it["rank"] -= int(cum[j - 1]) if j else 0
+            new_lo = it["lo"] + b * bw
+            it["hi"] = min(it["hi"], new_lo + bw - 1)
+            it["lo"] = new_lo
+
+    items.sort(key=lambda it: (str(it["key"]), it["q"]))
+    return pa.table({
+        key_col: pa.array([it["key"] for it in items]),
+        "q": pa.array([it["q"] for it in items], pa.string()),
+        "value_c": pa.array([it["lo"] for it in items], pa.int64()),
+    })
+
+
+def q_quantile_select(sf_dir: str):
+    """Exact p50/p95 of the (scaled) event value per event_type via
+    the unbounded-domain iterative selection — full SQL oracle
+    (ROW_NUMBER selection at rn = ceil(q·n))."""
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        return pa.table({"event_type": t["event_type"],
+                         "vc": _cents(t["value"])})
+
+    return quantile_select(ds.map_batches(derive, batch_format="pyarrow"),
+                           "event_type")

@@ -42,7 +42,7 @@ NEW_ORACLE_QUERIES = [
     "q_arg_max", "q_numeric_stats", "q_sample_hash", "q_dim_rollups",
     "q_heavy_hitters", "q_tfidf", "q_redact",
     "q_quality_filter", "q_repetition_filter", "q_window_funcs",
-    "q_dsir_select",
+    "q_dsir_select", "q_quantile_select", "q_url_dedup",
 ]
 
 
@@ -502,3 +502,33 @@ def test_dsir_hashed_variant_deterministic(ray_session):
     # target docs themselves score high under their own distribution:
     # selections are enriched in sub-target ids vs a uniform draw
     assert (exact.doc_id < 50).mean() > 0.2
+
+
+def test_quantile_select_matches_numpy_reference(ray_session):
+    """Unbounded-domain iterative selection == a numpy sort-based
+    reference, on data with heavy ties, negatives, and a huge value
+    range (forcing multiple refinement rounds at branch=16)."""
+    import ray
+
+    from gfftoneo4j_ray.ops.statsops import quantile_select
+
+    rng = np.random.default_rng(9)
+    keys = rng.choice(["a", "b", "c"], 5000)
+    vc = np.where(rng.random(5000) < 0.3,
+                  rng.integers(-5, 6, 5000),               # heavy ties
+                  rng.integers(-10**12, 10**12, 5000))     # huge range
+    t = pa.table({"k": pa.array(keys), "vc": pa.array(vc, pa.int64())})
+    got = quantile_select(
+        ray.data.from_arrow(t).repartition(7), "k",
+        qs=(("p50", 1, 2), ("p95", 19, 20), ("p01", 1, 100)),
+        branch=16).to_pandas()
+
+    for k in ("a", "b", "c"):
+        v = np.sort(vc[keys == k])
+        n = len(v)
+        for label, num, den in (("p50", 1, 2), ("p95", 19, 20),
+                                ("p01", 1, 100)):
+            want = int(v[max(1, (num * n + den - 1) // den) - 1])
+            row = got[(got["k"] == k) & (got["q"] == label)]
+            assert len(row) == 1
+            assert int(row["value_c"].iloc[0]) == want, (k, label)
