@@ -223,7 +223,6 @@ def sequential_canonical_url(url: str | None) -> str | None:
     the vectorized RE2 kernel is checked against. Deliberately shares
     no code with the engine kernel."""
     import re
-    from urllib.parse import urlsplit
 
     if url is None:
         return None
@@ -232,19 +231,24 @@ def sequential_canonical_url(url: str | None) -> str | None:
                  r"(?:\?(.*))?$", u, re.DOTALL)
     if m is None:
         return u
-    sp = urlsplit(u)
-    scheme = sp.scheme.lower()
-    netloc = sp.netloc.lower()
-    if netloc.startswith("www."):
+    # parse from the spec's own grammar groups, NOT urllib.urlsplit:
+    # urlsplit raises on unbalanced brackets ("http://[") — the spec
+    # (and the never-raising vectorized kernel) treats brackets as
+    # ordinary netloc characters
+    scheme = m.group(1).lower()
+    netloc = m.group(2).lower()
+    while netloc.startswith("www."):
         netloc = netloc[4:]
-    if scheme == "http" and netloc.endswith(":80"):
-        netloc = netloc[:-3]
-    elif scheme == "https" and netloc.endswith(":443"):
-        netloc = netloc[:-4]
-    path = sp.path.rstrip("/") or "/"
+    if scheme == "http":
+        while netloc.endswith(":80"):
+            netloc = netloc[:-3]
+    elif scheme == "https":
+        while netloc.endswith(":443"):
+            netloc = netloc[:-4]
+    path = m.group(3).rstrip("/") or "/"
     out = f"{scheme}://{netloc}{path}"
-    if "?" in u.split("#", 1)[0]:
-        params = [p for p in sp.query.split("&")
+    if m.group(4) is not None:
+        params = [p for p in m.group(4).split("&")
                   if p and not re.match(r"^(utm_[^=]*|gclid|fbclid)(=|$)",
                                         p)]
         if params:

@@ -6,16 +6,22 @@ One documented, deterministic spec, implemented twice:
   * :func:`canonical_url` here — fully vectorized pyarrow.compute
     (RE2) kernel, zero Python per row: the engine path.
   * ``compat.seqref.sequential_canonical_url`` — an independent
-    stdlib ``urllib.parse`` implementation: the test reference.
+    stdlib ``re`` + str-methods implementation: the test reference.
+    (Not ``urllib.urlsplit``: it raises on unbalanced brackets, e.g.
+    ``http://[`` — found by the hypothesis sweep — while the spec and
+    the never-raising vectorized kernel treat them as ordinary netloc
+    characters.)
 
 Canonicalization spec (applies to each url; nulls stay null):
 
   1. strip the fragment (everything from the first ``#``);
   2. if the remainder does not match ``scheme://netloc...``, stop —
      the fragment-stripped string IS the canonical form;
-  3. lowercase the scheme and the netloc; strip one leading ``www.``
-     from the netloc; drop an explicit default port (``:80`` for
-     http, ``:443`` for https);
+  3. lowercase the scheme and the netloc; strip ALL leading ``www.``
+     labels from the netloc; drop explicit default ports (``:80`` for
+     http, ``:443`` for https — repeated, so canonicalization is
+     idempotent: the output is a fixed point, a requirement for a
+     dedup key);
   4. drop tracking query parameters (``utm_*``, ``gclid``,
      ``fbclid``) and empty params; keep the rest in original order;
      drop the ``?`` when nothing is left;
@@ -73,12 +79,12 @@ def canonical_url(url) -> pa.Array:
     parts = pc.extract_regex(u, _PARTS_RE)
     scheme = pc.utf8_lower(pc.struct_field(parts, "scheme"))
     netloc = pc.utf8_lower(pc.struct_field(parts, "netloc"))
-    netloc = pc.replace_substring_regex(netloc, r"^www\.", "")
+    netloc = pc.replace_substring_regex(netloc, r"^(www\.)+", "")
     netloc = pc.if_else(
         pc.equal(scheme, "http"),
-        pc.replace_substring_regex(netloc, r":80$", ""),
+        pc.replace_substring_regex(netloc, r"(:80)+$", ""),
         pc.if_else(pc.equal(scheme, "https"),
-                   pc.replace_substring_regex(netloc, r":443$", ""),
+                   pc.replace_substring_regex(netloc, r"(:443)+$", ""),
                    netloc))
     path = pc.replace_substring_regex(
         pc.struct_field(parts, "path"), r"/+$", "")

@@ -455,8 +455,9 @@ def test_canonical_url_matches_urllib_reference():
         "https://example.com/trailing///?x=1#f",
         "mailto:someone@example.com",
         "https://example.com/a#f1#f2",
-        "http://www.WWW.example.com/",   # only ONE leading www. strips
+        "http://www.WWW.example.com/",   # ALL leading www. labels strip
         "https://example.com:443?x=1",   # port + empty path + query
+        "https://www.www.Example.com:443:443/x",  # repeated www + port
     ]
     rng = random.Random(11)
     schemes = ["http", "https", "HTTP", "HtTpS", "ftp"]

@@ -113,3 +113,47 @@ def test_split_one_partitions_exactly(buckets, num_buckets):
         assert all(buckets[v] == b for v in vals)
         seen.extend(vals)
     assert sorted(seen) == list(range(len(buckets)))
+
+
+# url-ish strings: both fully structured (scheme://host/path?q#f with
+# arbitrary printable pieces) and arbitrary text. Control whitespace
+# (\t\r\n) is excluded by the printable alphabet: upstream record
+# parsing never yields it inside a url, and the spec leaves it
+# undefined (urllib, for contrast, silently bleaches it).
+_piece = st.text(alphabet=st.characters(min_codepoint=0x20,
+                                        max_codepoint=0x7e), max_size=12)
+_structured_url = st.builds(
+    lambda sch, host, path, q, f: f"{sch}://{host}{path}?{q}#{f}",
+    st.sampled_from(["http", "HTTPS", "ftp", "a+b-c."]),
+    _piece, _piece, _piece, _piece)
+_anytext = st.text(
+    alphabet=st.characters(min_codepoint=0x20, max_codepoint=0x7e)
+    | st.sampled_from("éü日"), max_size=60)
+
+
+@settings(max_examples=400, deadline=None)
+@given(_structured_url | _anytext)
+def test_canonical_url_agrees_with_sequential_reference(s):
+    """The vectorized RE2 kernel and the independent re/str reference
+    implement the same total function on arbitrary printable input
+    (found the urlsplit bracket-raise divergence once already)."""
+    import pyarrow as pa
+
+    from gfftoneo4j_ray.compat.seqref import sequential_canonical_url
+    from gfftoneo4j_ray.functions.url import canonical_url
+
+    assert canonical_url(pa.array([s], pa.string())).to_pylist()[0] \
+        == sequential_canonical_url(s)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(_structured_url | _anytext, max_size=8))
+def test_canonical_url_idempotent(urls):
+    """canon(canon(x)) == canon(x) — canonicalization is a projection."""
+    import pyarrow as pa
+
+    from gfftoneo4j_ray.functions.url import canonical_url
+
+    once = canonical_url(pa.array(urls, pa.string()))
+    twice = canonical_url(once)
+    assert twice.to_pylist() == once.to_pylist()
