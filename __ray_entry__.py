@@ -454,6 +454,49 @@ def q_url_dedup(sf_dir: str):
     return dedup.url_dedup(pages, url_col="url", ts_col="warc_ts")
 
 
+def q_link_graph(sf_dir: str):
+    """Hyperlink extraction → host-level link graph
+    (stages/links.py: vectorized href extraction, target
+    canonicalization, host reduction, map-side pair combiner, one slim
+    hashagg), driven by deterministic synthetic markup derived from
+    doc_id — including a relative link (dropped: no base resolution)
+    and, on every 11th doc, an unterminated href (dropped by the
+    closing-quote rule). The SQL oracle derives the expected host
+    pairs directly from the same arithmetic."""
+    import numpy as np
+    import pyarrow as pa
+
+    n_docs = _docs(sf_dir, columns=("doc_id",)).count()
+
+    def mess(t: pa.Table, N=n_docs) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t1 = (d * 7 + 1) % N
+        t2 = (d * 13 + 5) % N
+
+        def s(a):
+            return np.char.mod("%d", a).astype(object)
+
+        url = ("https://www.Site" + s(d % 7) + ".Example.com/p/" + s(d))
+        html = ('<div><a href="https://site' + s(t1 % 5)
+                + ".example.com/a/" + s(t1)
+                + '?utm_c=1">x</a> <a href="HTTP://WWW.Other' + s(t2 % 3)
+                + ".ORG:80/q/" + s(t2) + '/">y</a> <a href="/rel/'
+                + s(d) + '">r</a></div>')
+        html = np.where(d % 11 == 0,
+                        html + ' <a href="https://broken.example/x',
+                        html)
+        return pa.table({
+            "url": pa.array(url.tolist(), pa.string()),
+            "html_text": pa.array(html.tolist(), pa.string()),
+        })
+
+    from gfftoneo4j_ray.stages.links import link_host_graph
+
+    pages = _docs(sf_dir, columns=("doc_id",)).map_batches(
+        mess, batch_format="pyarrow")
+    return link_host_graph(pages)
+
+
 def q_bpe_merges(sf_dir: str):
     """Distributed BPE vocabulary training (stages/bpe.py: one
     corpus-scale tokenize+count pass, then a vocab-bounded merge loop
@@ -865,6 +908,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_dedup_exact": q_dedup_exact,
         "q_url_dedup": q_url_dedup,
         "q_bpe_merges": q_bpe_merges,
+        "q_link_graph": q_link_graph,
         "q_substring_dedup": q_substring_dedup,  # ExactSubstr, full SQL
         "q_neardup": q_neardup,  # jaccard ∪ simhash ∪ minhash ∪ emb
         "q_semdedup": q_semdedup,  # k-means + in-cluster cosine, golden
@@ -1530,6 +1574,21 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT w.canon_url, m.url, m.ts, w.n_dups
             FROM w JOIN m ON m.doc_id = w.wid
+        """,
+        "q_link_graph": r"""
+            WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+            l AS (
+                SELECT 'site' || (doc_id % 7) || '.example.com' AS src_host,
+                       'site' || (((doc_id*7 + 1) % n) % 5)
+                           || '.example.com' AS dst_host
+                FROM documents CROSS JOIN nn
+                UNION ALL
+                SELECT 'site' || (doc_id % 7) || '.example.com',
+                       'other' || (((doc_id*13 + 5) % n) % 3) || '.org'
+                FROM documents CROSS JOIN nn
+            )
+            SELECT src_host, dst_host, COUNT(*) AS n_links
+            FROM l GROUP BY src_host, dst_host
         """,
         "q_bpe_merges": r"""
             SELECT rank, "left", "right", pair_count

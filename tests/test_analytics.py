@@ -42,7 +42,7 @@ NEW_ORACLE_QUERIES = [
     "q_arg_max", "q_numeric_stats", "q_sample_hash", "q_dim_rollups",
     "q_heavy_hitters", "q_tfidf", "q_redact",
     "q_quality_filter", "q_repetition_filter", "q_window_funcs",
-    "q_dsir_select", "q_quantile_select", "q_url_dedup",
+    "q_dsir_select", "q_quantile_select", "q_url_dedup", "q_link_graph",
 ]
 
 
