@@ -898,7 +898,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # corpus analytics (ops/analytics.py)
         "q_heavy_hitters": A.q_heavy_hitters,
         "q_tfidf": A.q_tfidf,
-        "q_dsir_select": A.q_dsir_select,  # importance resampling
+        "q_dsir_select": A.q_dsir_select,
+        "q_perplexity_buckets": A.q_perplexity_buckets,  # importance resampling
         "q_redact": A.q_redact,
         "q_quality_filter": A.q_quality_filter,
         "q_repetition_filter": A.q_repetition_filter,  # Gopher n-gram gates
@@ -1280,6 +1281,48 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, word, score_c
             FROM s WHERE rnk <= 3
+        """,
+        "q_perplexity_buckets": r"""
+            WITH toks AS (
+                SELECT doc_id, list_prepend('<s>', list_filter(
+                    regexp_extract_all(lower(text), '[a-z0-9_''-]+'),
+                    x -> x <> '')) AS arr
+                FROM documents
+            ),
+            bg AS (
+                SELECT doc_id, arr[i] AS w1, arr[i + 1] AS w2
+                FROM toks, unnest(range(1, len(arr))) AS t(i)
+            ),
+            dbg AS (SELECT doc_id, w1, w2, COUNT(*) AS n
+                    FROM bg GROUP BY doc_id, w1, w2),
+            tbg AS (SELECT w1, w2, SUM(n) AS c12 FROM dbg
+                    WHERE doc_id < 50 GROUP BY w1, w2),
+            ctx AS (SELECT w1, SUM(c12) AS c1 FROM tbg GROUP BY w1),
+            v AS (SELECT COUNT(DISTINCT w2) AS vs FROM tbg),
+            terms AS (
+                SELECT dbg.doc_id, dbg.n,
+                       CAST(FLOOR((ln(COALESCE(ctx.c1, 0) + vs)
+                                   - ln(COALESCE(tbg.c12, 0) + 1))
+                                  * 10000 + 0.5) AS BIGINT) AS term_c
+                FROM dbg CROSS JOIN v
+                LEFT JOIN tbg USING (w1, w2)
+                LEFT JOIN ctx USING (w1)
+            ),
+            nll AS (SELECT doc_id,
+                           CAST((SUM(n * term_c) + SUM(n) // 2)
+                                // SUM(n) AS BIGINT) AS nll_c
+                    FROM terms GROUP BY doc_id),
+            th AS (SELECT
+                MAX(CASE WHEN rn = (cnt + 2) // 3 THEN nll_c END) AS t33,
+                MAX(CASE WHEN rn = (2*cnt + 2) // 3 THEN nll_c END) AS t67
+                FROM (SELECT nll_c,
+                             ROW_NUMBER() OVER (ORDER BY nll_c) AS rn,
+                             COUNT(*) OVER () AS cnt FROM nll))
+            SELECT doc_id, nll_c,
+                   CASE WHEN nll_c <= t33 THEN 'head'
+                        WHEN nll_c <= t67 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM nll CROSS JOIN th
         """,
         "q_dsir_select": r"""
             WITH tok AS (

@@ -640,3 +640,136 @@ def q_dsir_select(sf_dir: str, target_max_id: int = 50, k: int = 200,
 
     return scores.map_batches(local_topk, batch_format="pyarrow") \
         .sort(["score_c", "doc_id"], descending=[True, False]).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity bucketing (Wenzek et al. 2019, arXiv:1911.00359)
+# ---------------------------------------------------------------------------
+
+def q_perplexity_buckets(sf_dir: str, target_max_id: int = 50):
+    """Score every document by an add-1-smoothed BIGRAM language model
+    trained on a target subcorpus (doc_id < ``target_max_id`` — the
+    'Wikipedia' stand-in), then bucket the corpus into head / middle /
+    tail by per-token negative log likelihood tertiles — the CCNet
+    quality-partitioning recipe.
+
+    Model: per doc, bigrams ((<s>, w₁), (w₁, w₂), …) over the
+    corpus-wide token convention; p(w₂|w₁) = (c₁₂+1)/(c₁+|V|) with
+    target bigram counts c₁₂, target context counts c₁ = Σ_w c₁ᵥ, and
+    |V| = distinct target words. Per-bigram term = ln(c₁+|V|) −
+    ln(c₁₂+1), pre-rounded to an int (×10⁴, half-up — the engine/
+    oracle exactness convention; DuckDB and numpy share libm ln
+    bit-for-bit, same as q_dsir_select); per-doc nll_c = the
+    count-weighted integer mean, half-up. Zero-token docs carry no LM
+    evidence and are excluded (both engines agree).
+
+    Scale shape: the target LM is two vocab-scale hash aggregates
+    (contexts derived FROM the bigram table — no second corpus pass);
+    doc bigrams are formed map-side inside each batch (locality
+    contractual: a row is a whole doc); scoring is two bucketed LEFT
+    joins against the LM tables (no vocabulary broadcast) plus one
+    per-doc hash aggregate; the tertile thresholds come from
+    :func:`ops.statsops.quantile_select` (2-3 slim passes); the final
+    labeling is one map-side compare against two broadcast ints.
+
+    Returns (doc_id, nll_c, bucket ∈ head|middle|tail).
+    """
+    from .join import hash_join
+    from .statsops import quantile_select
+
+    ds = _docs(sf_dir).materialize()   # consumed by 2 partials + scoring
+
+    def bigram_partial(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        flat, parent = _tokens_flat(t["text"])
+        if len(flat) == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "w1": pa.array([], pa.string()),
+                             "w2": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        w2 = flat.to_numpy(zero_copy_only=False)
+        par = parent.to_numpy(zero_copy_only=False)
+        w1 = np.empty_like(w2)
+        w1[0] = "<s>"
+        w1[1:] = w2[:-1]
+        w1[np.r_[True, par[1:] != par[:-1]]] = "<s>"
+        g = pa.table({
+            "doc_id": t["doc_id"].take(parent),
+            "w1": pa.array(w1, pa.string()),
+            "w2": flat,
+        }).group_by(["doc_id", "w1", "w2"]).aggregate([("w2", "count")])
+        return g.rename_columns(["doc_id", "w1", "w2", "n"])
+
+    doc_bg = ds.map_batches(bigram_partial, batch_format="pyarrow") \
+        .materialize()   # feeds the target aggregates AND the scoring
+
+    def tgt_only(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less(t["doc_id"], target_max_id)) \
+            .select(["w1", "w2", "n"])
+
+    bg = hash_aggregate(
+        doc_bg.map_batches(tgt_only, batch_format="pyarrow"),
+        ["w1", "w2"], [("n", "sum", "c12")], num_buckets=16).materialize()
+    ctx = hash_aggregate(bg, "w1", [("c12", "sum", "c1")], num_buckets=16)
+    v_size = hash_aggregate(
+        bg.map_batches(
+            lambda t: pa.table({"w2": pc.unique(t["w2"])}),
+            batch_format="pyarrow"),
+        "w2", [("w2", "count", "_c")], num_buckets=16).count()
+
+    j1 = hash_join(
+        doc_bg, bg, on=["w1", "w2"], how="left", num_buckets=16,
+        left_schema=pa.schema([("doc_id", pa.int64()), ("w1", pa.string()),
+                               ("w2", pa.string()), ("n", pa.int64())]),
+        right_schema=pa.schema([("w1", pa.string()), ("w2", pa.string()),
+                                ("c12", pa.int64())]))
+    j2 = hash_join(
+        j1, ctx, on="w1", how="left", num_buckets=16,
+        left_schema=pa.schema([("doc_id", pa.int64()), ("w1", pa.string()),
+                               ("w2", pa.string()), ("n", pa.int64()),
+                               ("c12", pa.int64())]),
+        right_schema=pa.schema([("w1", pa.string()), ("c1", pa.int64())]))
+
+    def term_partial(t: pa.Table, V=v_size) -> pa.Table:
+        c12 = t["c12"].to_numpy(zero_copy_only=False).astype(np.float64)
+        c1 = t["c1"].to_numpy(zero_copy_only=False).astype(np.float64)
+        c12 = np.where(np.isnan(c12), 0.0, c12)
+        c1 = np.where(np.isnan(c1), 0.0, c1)
+        n = t["n"].to_numpy(zero_copy_only=False)
+        # EXACT expression mirrored in the SQL oracle, term for term
+        term_c = np.floor((np.log(c1 + V) - np.log(c12 + 1.0))
+                          * 10000.0 + 0.5).astype(np.int64)
+        return pa.table({"doc_id": t["doc_id"],
+                         "s": pa.array(n * term_c, pa.int64()),
+                         "m": pa.array(n, pa.int64())})
+
+    sums = hash_aggregate(
+        j2.map_batches(term_partial, batch_format="pyarrow"),
+        "doc_id", [("s", "sum", "s"), ("m", "sum", "m")],
+        num_buckets=16)
+
+    def nll(t: pa.Table) -> pa.Table:
+        s = t["s"].to_numpy(zero_copy_only=False)
+        m = t["m"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "k": pa.array(np.full(t.num_rows, "all", object), pa.string()),
+            "vc": pa.array((s + m // 2) // m, pa.int64()),
+        })
+
+    scored = sums.map_batches(nll, batch_format="pyarrow").materialize()
+
+    th = quantile_select(scored, "k",
+                         qs=(("p33", 1, 3), ("p67", 2, 3)))
+    tmap = {r["q"]: r["value_c"] for r in th.to_pylist()}
+    t33, t67 = tmap["p33"], tmap["p67"]
+
+    def label(t: pa.Table, t33=t33, t67=t67) -> pa.Table:
+        v = t["vc"].to_numpy(zero_copy_only=False)
+        b = np.where(v <= t33, "head",
+                     np.where(v <= t67, "middle", "tail"))
+        return pa.table({"doc_id": t["doc_id"],
+                         "nll_c": t["vc"],
+                         "bucket": pa.array(b.astype(object), pa.string())})
+
+    return scored.map_batches(label, batch_format="pyarrow")

@@ -43,6 +43,7 @@ NEW_ORACLE_QUERIES = [
     "q_heavy_hitters", "q_tfidf", "q_redact",
     "q_quality_filter", "q_repetition_filter", "q_window_funcs",
     "q_dsir_select", "q_quantile_select", "q_url_dedup", "q_link_graph",
+    "q_perplexity_buckets",
 ]
 
 
@@ -532,3 +533,37 @@ def test_quantile_select_matches_numpy_reference(ray_session):
             row = got[(got["k"] == k) & (got["q"] == label)]
             assert len(row) == 1
             assert int(row["value_c"].iloc[0]) == want, (k, label)
+
+
+def test_perplexity_buckets_semantics(ray_session):
+    """A document written in the target LM's language must score a
+    strictly lower per-token nll than a document of tokens the target
+    has never seen — and the tertile labels must follow nll order."""
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from gfftoneo4j_ray.ops import analytics as A
+
+    target_sent = "the cat sat on the mat and the dog ran"
+    docs = [f"{target_sent} variant {i % 3}" for i in range(50)]  # target
+    docs.append(target_sent)                              # 50: in-domain
+    docs.append("zqx vbn mlk pqr wxy zzz qqq nnn vvv kkk")  # 51: o.o.d.
+    docs.append(target_sent + " " + target_sent)          # 52: in-domain
+    tbl = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                    "text": pa.array(docs, pa.string()),
+                    "lang": pa.array(["en"] * len(docs), pa.string()),
+                    "source": pa.array(["s"] * len(docs), pa.string()),
+                    "n_chars": pa.array([len(d) for d in docs], pa.int64())})
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(tbl, f"{d}/documents.parquet")
+        got = A.q_perplexity_buckets(d).to_pandas() \
+            .set_index("doc_id")
+    assert got.loc[50, "nll_c"] < got.loc[51, "nll_c"]
+    assert got.loc[52, "nll_c"] < got.loc[51, "nll_c"]
+    assert got.loc[51, "bucket"] == "tail"
+    # labels are a monotone function of nll_c
+    order = {"head": 0, "middle": 1, "tail": 2}
+    s = got.sort_values("nll_c")
+    lab = [order[b] for b in s["bucket"]]
+    assert lab == sorted(lab)
