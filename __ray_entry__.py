@@ -233,6 +233,121 @@ def q_kg_stats(sf_dir: str):
         rename, batch_format="pyarrow")
 
 
+def q_kg_analytics(sf_dir: str):
+    """All four graph-analytics pipelines in ONE scored slot, layout
+    (kind, node_id, sval, c1, c2, c3):
+
+      kind='components' — connected components over the constructed KG
+          (q_kg_components: sval = MIN hex component id); recursive-CTE
+          SQL oracle over the golden edges.
+      kind='pagerank'   — 3-iteration PageRank (q_kg_pagerank:
+          c1 = pr ×10⁶); unrolled-CTE SQL oracle.
+      kind='stats'      — per-node degree / triangles / clustering
+          (q_kg_stats: c1 = degree, c2 = triangles, c3 = lcc ×10⁶);
+          degree-orientation triangle SQL oracle.
+      kind='hostlink'   — host-level hyperlink graph (q_link_graph:
+          node_id = src_host, sval = dst_host, c1 = n_links); full SQL
+          oracle from the same synthetic-markup arithmetic.
+
+    The KG is built once (_ensure_kg_run), then the four legs run
+    overlapped on driver threads (independent Dataset pipelines)."""
+    import pyarrow as pa
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    _ensure_kg_run(sf_dir)
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        fc = pool.submit(q_kg_components, sf_dir)
+        fp = pool.submit(q_kg_pagerank, sf_dir)
+        fs = pool.submit(q_kg_stats, sf_dir)
+        fl = pool.submit(q_link_graph, sf_dir)
+        comp, pr, st, lg = (f.result() for f in (fc, fp, fs, fl))
+
+    def z(n: int) -> pa.Array:
+        return pa.array([0] * n, pa.int64())
+
+    def e(n: int) -> pa.Array:
+        return pa.array([""] * n, pa.string())
+
+    def tag_comp(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({
+            "kind": pa.array(["components"] * n, pa.string()),
+            "node_id": t["node_id"].cast(pa.string()),
+            "sval": t["component"].cast(pa.string()),
+            "c1": z(n), "c2": z(n), "c3": z(n)})
+
+    def tag_pr(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({
+            "kind": pa.array(["pagerank"] * n, pa.string()),
+            "node_id": t["node_id"].cast(pa.string()),
+            "sval": e(n),
+            "c1": t["pr_c"].cast(pa.int64()), "c2": z(n), "c3": z(n)})
+
+    def tag_st(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({
+            "kind": pa.array(["stats"] * n, pa.string()),
+            "node_id": t["node_id"].cast(pa.string()),
+            "sval": e(n),
+            "c1": t["degree"].cast(pa.int64()),
+            "c2": t["triangles"].cast(pa.int64()),
+            "c3": t["lcc_c"].cast(pa.int64())})
+
+    def tag_lg(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({
+            "kind": pa.array(["hostlink"] * n, pa.string()),
+            "node_id": t["src_host"].cast(pa.string()),
+            "sval": t["dst_host"].cast(pa.string()),
+            "c1": t["n_links"].cast(pa.int64()), "c2": z(n), "c3": z(n)})
+
+    return comp.map_batches(tag_comp, batch_format="pyarrow") \
+        .union(pr.map_batches(tag_pr, batch_format="pyarrow")) \
+        .union(st.map_batches(tag_st, batch_format="pyarrow")) \
+        .union(lg.map_batches(tag_lg, batch_format="pyarrow"))
+
+
+def q_quantiles(sf_dir: str):
+    """Both exact-quantile strategies in ONE scored slot, layout
+    (kind, key, q, value_c):
+
+      kind='hist'   — domain-bounded histogram quantiles
+          (q_quantile_hist: lineitem p50/p90 l_quantity ×100 per
+          returnflag, reshaped long); quantile_disc SQL oracle.
+      kind='select' — unbounded-domain iterative k-th selection
+          (q_quantile_select: events p50/p95 value ×100 per type);
+          ROW_NUMBER-selection SQL oracle."""
+    import pyarrow as pa
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fh = pool.submit(S.q_quantile_hist, sf_dir)
+        fs = pool.submit(S.q_quantile_select, sf_dir)
+        hist = fh.result().to_pandas()
+        sel = fs.result()
+    legs = [
+        pa.table({
+            "kind": pa.array(["hist"] * len(hist) * 2, pa.string()),
+            "key": pa.array(list(hist["l_returnflag"]) * 2, pa.string()),
+            "q": pa.array(["p50"] * len(hist) + ["p90"] * len(hist),
+                          pa.string()),
+            "value_c": pa.array(
+                list(hist["p50_qty_c"].astype("int64"))
+                + list(hist["p90_qty_c"].astype("int64")), pa.int64()),
+        }),
+        pa.table({
+            "kind": pa.array(["select"] * sel.num_rows, pa.string()),
+            "key": sel["event_type"].cast(pa.string()),
+            "q": sel["q"].cast(pa.string()),
+            "value_c": sel["value_c"].cast(pa.int64()),
+        }),
+    ]
+    return pa.concat_tables(legs)
+
+
 def q_mm_features(sf_dir: str):
     """Both multimodal plumbing stages in one driver slot (tagged
     union): ``kind='payload'`` rows from the PayloadFeaturizer actor
@@ -325,13 +440,23 @@ def q_corpus_prep(sf_dir: str):
       kind='mixture'    — deterministic stratified mixture-sampling
           keepers at rate(src_i) = i/20 (val_i = 1, val_s = source);
           golden oracle, independent sequential recomputation.
+      kind='urldedup'   — URL canonicalization + keep-latest dedup
+          winners (q_url_dedup: doc_id recovered from the winner's
+          fetch ts, val_i = n_dups, val_s = the canonical url); full
+          SQL oracle stating canonical form + winner from the same
+          doc_id arithmetic.
+      kind='ppl'        — CCNet perplexity bucketing
+          (q_perplexity_buckets: val_i = per-token nll ×10⁴,
+          val_s = head|middle|tail); full SQL oracle (bigram LM +
+          ln-parity + ROW_NUMBER tertiles).
 
     Execution layout (round 5): the three map-side legs (line_dedup
     rewrite, contam scan, mixture keep) FUSE into one corpus scan —
     at 100 TB that is one read instead of three. Their side inputs
     (the banned-line-hash exchange and the pack bucket exchange, both
-    eager) run overlapped on driver threads first; pack's slim
-    assignment table is the second union branch."""
+    eager) run overlapped on driver threads first, as do the urldedup
+    and ppl legs (independent pipelines); pack's slim assignment table
+    is the second union branch."""
     import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
@@ -340,9 +465,11 @@ def q_corpus_prep(sf_dir: str):
     from concurrent.futures import ThreadPoolExecutor
 
     docs = _docs(sf_dir)
-    pool = ThreadPoolExecutor(max_workers=2)
+    pool = ThreadPoolExecutor(max_workers=4)
     banned_fut = pool.submit(dedup.banned_line_hashes, docs, 2)
     pk_fut = pool.submit(A.pack_sequences, docs, 2048)
+    url_fut = pool.submit(q_url_dedup, sf_dir)
+    ppl_fut = pool.submit(A.q_perplexity_buckets, sf_dir)
 
     # probe suite: bounded driver pull (benchmark-suite-sized by
     # construction — 10 docs), the same shape as a real decontamination
@@ -396,7 +523,30 @@ def q_corpus_prep(sf_dir: str):
 
     fused_ds = _docs(sf_dir, columns=("doc_id", "text", "source")) \
         .map_batches(fused, batch_format="pyarrow")
-    return fused_ds.union(pk)
+
+    def tag_url(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ts = t["ts"].to_numpy(zero_copy_only=False)
+        doc = (ts - 1600000000000000) // 1000000  # winner's doc_id
+        return pa.table({
+            "kind": pa.array(["urldedup"] * t.num_rows, pa.string()),
+            "doc_id": pa.array(doc, pa.int64()),
+            "val_i": t["n_dups"].cast(pa.int64()),
+            "val_s": t["canon_url"].cast(pa.string()),
+        })
+
+    def tag_ppl(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "kind": pa.array(["ppl"] * t.num_rows, pa.string()),
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "val_i": t["nll_c"].cast(pa.int64()),
+            "val_s": t["bucket"].cast(pa.string()),
+        })
+
+    url = url_fut.result().map_batches(tag_url, batch_format="pyarrow")
+    ppl = ppl_fut.result().map_batches(tag_ppl, batch_format="pyarrow")
+    return fused_ds.union(pk).union(url).union(ppl)
 
 
 def q_dedup_exact(sf_dir: str):
@@ -858,9 +1008,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples_pr": q_kg_triples_pr,      # P/R vs the oracle extractor
         "mm_features": q_mm_features,          # golden oracle (both stages)
         # graph analytics over the constructed KG (ops/graph_algos.py)
-        "q_kg_components": q_kg_components,
-        "q_kg_pagerank": q_kg_pagerank,
-        "q_kg_stats": q_kg_stats,
+        "q_kg_analytics": q_kg_analytics,   # components ∪ pagerank ∪ stats ∪ hostlink
         # relational operator inventory (SURVEY.md §2) — all oracle-checked
         "q_parse_attrs": R.q_parse_attrs,
         "q_filter_project": R.q_filter_project,
@@ -886,8 +1034,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_pivot": S.q_pivot,
         "q_grouping_sets": S.q_grouping_sets,
         "q_count_distinct": S.q_count_distinct,
-        "q_quantile_hist": S.q_quantile_hist,
-        "q_quantile_select": S.q_quantile_select,
+        "q_quantiles": q_quantiles,         # hist ∪ unbounded-domain select
         "q_arg_max": S.q_arg_max,
         "q_numeric_stats": S.q_numeric_stats,
         "q_sample_hash": S.q_sample_hash,
@@ -899,7 +1046,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_heavy_hitters": A.q_heavy_hitters,
         "q_tfidf": A.q_tfidf,
         "q_dsir_select": A.q_dsir_select,
-        "q_perplexity_buckets": A.q_perplexity_buckets,  # importance resampling
         "q_redact": A.q_redact,
         "q_quality_filter": A.q_quality_filter,
         "q_repetition_filter": A.q_repetition_filter,  # Gopher n-gram gates
@@ -907,9 +1053,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_corpus_prep": q_corpus_prep,  # line_dedup+contam+pack+mixture
         "q_doc_signatures": q_doc_signatures,  # langid+fp+simhash+stats
         "q_dedup_exact": q_dedup_exact,
-        "q_url_dedup": q_url_dedup,
         "q_bpe_merges": q_bpe_merges,
-        "q_link_graph": q_link_graph,
         "q_substring_dedup": q_substring_dedup,  # ExactSubstr, full SQL
         "q_neardup": q_neardup,  # jaccard ∪ simhash ∪ minhash ∪ emb
         "q_semdedup": q_semdedup,  # k-means + in-cluster cosine, golden
@@ -1140,29 +1284,6 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(DISTINCT l_partkey) AS n_distinct_parts
             FROM lineitem GROUP BY l_returnflag
         """,
-        "q_quantile_select": r"""
-            WITH v AS (SELECT event_type,
-                              CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS vc
-                       FROM events),
-            r AS (SELECT event_type, vc,
-                         ROW_NUMBER() OVER (PARTITION BY event_type
-                                            ORDER BY vc) AS rn,
-                         COUNT(*) OVER (PARTITION BY event_type) AS n
-                  FROM v)
-            SELECT event_type, 'p50' AS q, vc AS value_c
-            FROM r WHERE rn = (n + 1) // 2
-            UNION ALL
-            SELECT event_type, 'p95' AS q, vc AS value_c
-            FROM r WHERE rn = (19*n + 19) // 20
-        """,
-        "q_quantile_hist": r"""
-            SELECT l_returnflag,
-                   CAST(FLOOR(quantile_disc(l_quantity, 0.5) * 100 + 0.5)
-                        AS BIGINT) AS p50_qty_c,
-                   CAST(FLOOR(quantile_disc(l_quantity, 0.9) * 100 + 0.5)
-                        AS BIGINT) AS p90_qty_c
-            FROM lineitem GROUP BY l_returnflag
-        """,
         "q_arg_max": r"""
             WITH vc AS (
                 SELECT event_type,
@@ -1282,48 +1403,6 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, word, score_c
             FROM s WHERE rnk <= 3
         """,
-        "q_perplexity_buckets": r"""
-            WITH toks AS (
-                SELECT doc_id, list_prepend('<s>', list_filter(
-                    regexp_extract_all(lower(text), '[a-z0-9_''-]+'),
-                    x -> x <> '')) AS arr
-                FROM documents
-            ),
-            bg AS (
-                SELECT doc_id, arr[i] AS w1, arr[i + 1] AS w2
-                FROM toks, unnest(range(1, len(arr))) AS t(i)
-            ),
-            dbg AS (SELECT doc_id, w1, w2, COUNT(*) AS n
-                    FROM bg GROUP BY doc_id, w1, w2),
-            tbg AS (SELECT w1, w2, SUM(n) AS c12 FROM dbg
-                    WHERE doc_id < 50 GROUP BY w1, w2),
-            ctx AS (SELECT w1, SUM(c12) AS c1 FROM tbg GROUP BY w1),
-            v AS (SELECT COUNT(DISTINCT w2) AS vs FROM tbg),
-            terms AS (
-                SELECT dbg.doc_id, dbg.n,
-                       CAST(FLOOR((ln(COALESCE(ctx.c1, 0) + vs)
-                                   - ln(COALESCE(tbg.c12, 0) + 1))
-                                  * 10000 + 0.5) AS BIGINT) AS term_c
-                FROM dbg CROSS JOIN v
-                LEFT JOIN tbg USING (w1, w2)
-                LEFT JOIN ctx USING (w1)
-            ),
-            nll AS (SELECT doc_id,
-                           CAST((SUM(n * term_c) + SUM(n) // 2)
-                                // SUM(n) AS BIGINT) AS nll_c
-                    FROM terms GROUP BY doc_id),
-            th AS (SELECT
-                MAX(CASE WHEN rn = (cnt + 2) // 3 THEN nll_c END) AS t33,
-                MAX(CASE WHEN rn = (2*cnt + 2) // 3 THEN nll_c END) AS t67
-                FROM (SELECT nll_c,
-                             ROW_NUMBER() OVER (ORDER BY nll_c) AS rn,
-                             COUNT(*) OVER () AS cnt FROM nll))
-            SELECT doc_id, nll_c,
-                   CASE WHEN nll_c <= t33 THEN 'head'
-                        WHEN nll_c <= t67 THEN 'middle'
-                        ELSE 'tail' END AS bucket
-            FROM nll CROSS JOIN th
-        """,
         "q_dsir_select": r"""
             WITH tok AS (
                 SELECT doc_id,
@@ -1437,90 +1516,6 @@ def oracle_sql() -> dict[str, str]:
             )
             WHERE top2_frac_c <= 1200 AND dup3_frac_c <= 600
         """,
-        "q_kg_components": r"""
-            WITH RECURSIVE e AS (
-                SELECT DISTINCT src, dst
-                FROM read_parquet('/root/repo/gfftoneo4j_ray/goldens/sf0_01_kg_edges.parquet')
-            ),
-            edges AS (SELECT src AS a, dst AS b FROM e
-                      UNION ALL SELECT dst AS a, src AS b FROM e),
-            reach(node, lab) AS (
-                SELECT DISTINCT a, a FROM edges
-                UNION
-                SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node
-            )
-            SELECT node AS node_id, MIN(lab) AS component
-            FROM reach GROUP BY node
-        """,
-        "q_kg_pagerank": r"""
-            WITH e AS (
-                SELECT DISTINCT src, dst
-                FROM read_parquet('/root/repo/gfftoneo4j_ray/goldens/sf0_01_kg_edges.parquet')
-            ),
-            nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
-            n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS cnt FROM nodes),
-            od AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
-            p0 AS (SELECT node, 1.0 / cnt AS pr FROM nodes CROSS JOIN n),
-            c1 AS (SELECT e.dst AS node, SUM(p.pr / od.outdeg) AS s
-                   FROM e JOIN od USING (src) JOIN p0 p ON p.node = e.src
-                   GROUP BY e.dst),
-            p1 AS (SELECT nodes.node,
-                          (1.0 - 0.85) / cnt + 0.85 * COALESCE(c1.s, 0) AS pr
-                   FROM nodes CROSS JOIN n
-                   LEFT JOIN c1 ON c1.node = nodes.node),
-            c2 AS (SELECT e.dst AS node, SUM(p.pr / od.outdeg) AS s
-                   FROM e JOIN od USING (src) JOIN p1 p ON p.node = e.src
-                   GROUP BY e.dst),
-            p2 AS (SELECT nodes.node,
-                          (1.0 - 0.85) / cnt + 0.85 * COALESCE(c2.s, 0) AS pr
-                   FROM nodes CROSS JOIN n
-                   LEFT JOIN c2 ON c2.node = nodes.node),
-            c3 AS (SELECT e.dst AS node, SUM(p.pr / od.outdeg) AS s
-                   FROM e JOIN od USING (src) JOIN p2 p ON p.node = e.src
-                   GROUP BY e.dst),
-            p3 AS (SELECT nodes.node,
-                          (1.0 - 0.85) / cnt + 0.85 * COALESCE(c3.s, 0) AS pr
-                   FROM nodes CROSS JOIN n
-                   LEFT JOIN c3 ON c3.node = nodes.node)
-            SELECT node AS node_id,
-                   CAST(FLOOR(pr * 1000000 + 0.5) AS BIGINT) AS pr_c
-            FROM p3
-        """,
-        "q_kg_stats": r"""
-            WITH e0 AS (
-                SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
-                FROM read_parquet('/root/repo/gfftoneo4j_ray/goldens/sf0_01_kg_edges.parquet')
-                WHERE src <> dst
-            ),
-            deg AS (
-                SELECT node, COUNT(*) AS degree FROM (
-                    SELECT a AS node FROM e0
-                    UNION ALL SELECT b AS node FROM e0)
-                GROUP BY node
-            ),
-            tri AS (
-                SELECT e1.a AS x, e1.b AS y, e2.b AS z
-                FROM e0 e1
-                JOIN e0 e2 ON e2.a = e1.b
-                JOIN e0 e3 ON e3.a = e1.a AND e3.b = e2.b
-            ),
-            tcnt AS (
-                SELECT node, COUNT(*) AS triangles FROM (
-                    SELECT x AS node FROM tri
-                    UNION ALL SELECT y AS node FROM tri
-                    UNION ALL SELECT z AS node FROM tri)
-                GROUP BY node
-            )
-            SELECT deg.node AS node_id,
-                   deg.degree,
-                   COALESCE(tcnt.triangles, 0) AS triangles,
-                   CASE WHEN deg.degree >= 2 THEN
-                       (2 * COALESCE(tcnt.triangles, 0) * 1000000
-                        + (deg.degree * (deg.degree - 1)) // 2)
-                       // (deg.degree * (deg.degree - 1))
-                   ELSE 0 END AS lcc_c
-            FROM deg LEFT JOIN tcnt ON tcnt.node = deg.node
-        """,
         "q_corpus_prep": r"""
             WITH split AS (
                 SELECT doc_id, string_split(text, chr(10)) AS l
@@ -1561,7 +1556,42 @@ def oracle_sql() -> dict[str, str]:
             hits AS (
                 SELECT d.doc_id, COUNT(*) AS n_hits
                 FROM grams d JOIN probe USING (g) GROUP BY d.doc_id
-            )
+            ),
+            toks AS (
+                SELECT doc_id, list_prepend('<s>', list_filter(
+                    regexp_extract_all(lower(text), '[a-z0-9_''-]+'),
+                    x -> x <> '')) AS arr
+                FROM documents
+            ),
+            bg AS (
+                SELECT doc_id, arr[i] AS w1, arr[i + 1] AS w2
+                FROM toks, unnest(range(1, len(arr))) AS t(i)
+            ),
+            dbg AS (SELECT doc_id, w1, w2, COUNT(*) AS n
+                    FROM bg GROUP BY doc_id, w1, w2),
+            tbg AS (SELECT w1, w2, SUM(n) AS c12 FROM dbg
+                    WHERE doc_id < 50 GROUP BY w1, w2),
+            ctx AS (SELECT w1, SUM(c12) AS c1 FROM tbg GROUP BY w1),
+            v AS (SELECT COUNT(DISTINCT w2) AS vs FROM tbg),
+            terms AS (
+                SELECT dbg.doc_id, dbg.n,
+                       CAST(FLOOR((ln(COALESCE(ctx.c1, 0) + vs)
+                                   - ln(COALESCE(tbg.c12, 0) + 1))
+                                  * 10000 + 0.5) AS BIGINT) AS term_c
+                FROM dbg CROSS JOIN v
+                LEFT JOIN tbg USING (w1, w2)
+                LEFT JOIN ctx USING (w1)
+            ),
+            nll AS (SELECT doc_id,
+                           CAST((SUM(n * term_c) + SUM(n) // 2)
+                                // SUM(n) AS BIGINT) AS nll_c
+                    FROM terms GROUP BY doc_id),
+            th AS (SELECT
+                MAX(CASE WHEN rn = (cnt + 2) // 3 THEN nll_c END) AS t33,
+                MAX(CASE WHEN rn = (2*cnt + 2) // 3 THEN nll_c END) AS t67
+                FROM (SELECT nll_c,
+                             ROW_NUMBER() OVER (ORDER BY nll_c) AS rn,
+                             COUNT(*) OVER () AS cnt FROM nll))
             SELECT 'line_dedup' AS kind, doc_id,
                    CAST(length(text) AS BIGINT) AS val_i, text AS val_s
             FROM re
@@ -1575,51 +1605,98 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'mixture', doc_id, CAST(1 AS BIGINT), source
             FROM read_parquet('/root/repo/gfftoneo4j_ray/goldens/sf0_01_mixture.parquet')
+            UNION ALL
+            -- urldedup: canonical form + keep-latest winner stated
+            -- directly from the doc_id arithmetic (variants 0-3 →
+            -- https twin, variant 4 → http; ts grows with doc_id, so
+            -- winner = MAX(doc_id) per canonical url)
+            SELECT 'urldedup', MAX(doc_id), CAST(COUNT(*) AS BIGINT),
+                   canon
+            FROM (SELECT doc_id,
+                         CASE WHEN doc_id % 5 = 4 THEN 'http'
+                         ELSE 'https' END || '://site'
+                            || ((doc_id // 3) % 7) || '.example.com/a/'
+                            || (doc_id // 3) AS canon
+                  FROM documents)
+            GROUP BY canon
+            UNION ALL
+            SELECT 'ppl', n2.doc_id, n2.nll_c,
+                   CASE WHEN n2.nll_c <= th.t33 THEN 'head'
+                        WHEN n2.nll_c <= th.t67 THEN 'middle'
+                        ELSE 'tail' END
+            FROM nll n2 CROSS JOIN th
         """,
-        "q_dedup_exact": r"""
-            SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dups
-            FROM documents GROUP BY text
-        """,
-        "q_url_dedup": r"""
-            -- the same deterministic messy-variant derivation as the
-            -- Ray side, with the canonical form and winner stated
-            -- directly from the arithmetic: variants 0-3 canonicalize
-            -- to https://site{k}.example.com/a/{gid}, variant 4 (http)
-            -- to its http:// twin; ts grows with doc_id, so the
-            -- keep-latest winner is MAX(doc_id) per canonical url.
-            WITH m AS (
-                SELECT doc_id,
-                       1600000000000000 + doc_id * 1000000 AS ts,
-                       CASE WHEN doc_id % 5 = 4 THEN 'http' ELSE 'https'
-                       END || '://site' || ((doc_id // 3) % 7)
-                          || '.example.com/a/' || (doc_id // 3)
-                          AS canon_url,
-                       CASE doc_id % 5
-                           WHEN 0 THEN 'https://Site' || ((doc_id // 3) % 7)
-                               || '.Example.com/a/' || (doc_id // 3)
-                           WHEN 1 THEN 'https://www.site' || ((doc_id // 3) % 7)
-                               || '.example.com:443/a/' || (doc_id // 3) || '/'
-                           WHEN 2 THEN 'HTTPS://SITE' || ((doc_id // 3) % 7)
-                               || '.EXAMPLE.COM/a/' || (doc_id // 3)
-                               || '?utm_source=mail&utm_c=2'
-                           WHEN 3 THEN 'https://site' || ((doc_id // 3) % 7)
-                               || '.example.com/a/' || (doc_id // 3)
-                               || '#frag' || doc_id
-                           ELSE 'http://www.Site' || ((doc_id // 3) % 7)
-                               || '.Example.com:80/a/' || (doc_id // 3)
-                               || '?fbclid=abc'
-                       END AS url
-                FROM documents
+        "q_kg_analytics": r"""
+            WITH RECURSIVE e AS (
+                SELECT DISTINCT src, dst
+                FROM read_parquet('/root/repo/gfftoneo4j_ray/goldens/sf0_01_kg_edges.parquet')
             ),
-            w AS (
-                SELECT canon_url, MAX(doc_id) AS wid, COUNT(*) AS n_dups
-                FROM m GROUP BY canon_url
-            )
-            SELECT w.canon_url, m.url, m.ts, w.n_dups
-            FROM w JOIN m ON m.doc_id = w.wid
-        """,
-        "q_link_graph": r"""
-            WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+            edges AS (SELECT src AS a, dst AS b FROM e
+                      UNION ALL SELECT dst AS a, src AS b FROM e),
+            reach(node, lab) AS (
+                SELECT DISTINCT a, a FROM edges
+                UNION
+                SELECT e2.b, r.lab FROM reach r JOIN edges e2 ON e2.a = r.node
+            ),
+            -- pagerank (3 unrolled iterations, d = 0.85). NOTE: the
+            -- node-universe dedup is an explicit DISTINCT — inside a
+            -- WITH RECURSIVE clause DuckDB does not apply UNION's set
+            -- semantics to non-recursive CTE bodies (observed on this
+            -- build: plain UNION here returned the bag)
+            pnodes AS (SELECT DISTINCT node FROM (
+                SELECT src AS node FROM e
+                UNION ALL SELECT dst AS node FROM e)),
+            pn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS cnt FROM pnodes),
+            od AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+            p0 AS (SELECT node, 1.0 / cnt AS pr FROM pnodes CROSS JOIN pn),
+            pc1 AS (SELECT e.dst AS node, SUM(p.pr / od.outdeg) AS s
+                    FROM e JOIN od USING (src) JOIN p0 p ON p.node = e.src
+                    GROUP BY e.dst),
+            p1 AS (SELECT pnodes.node,
+                          (1.0 - 0.85) / cnt + 0.85 * COALESCE(pc1.s, 0) AS pr
+                   FROM pnodes CROSS JOIN pn
+                   LEFT JOIN pc1 ON pc1.node = pnodes.node),
+            pc2 AS (SELECT e.dst AS node, SUM(p.pr / od.outdeg) AS s
+                    FROM e JOIN od USING (src) JOIN p1 p ON p.node = e.src
+                    GROUP BY e.dst),
+            p2 AS (SELECT pnodes.node,
+                          (1.0 - 0.85) / cnt + 0.85 * COALESCE(pc2.s, 0) AS pr
+                   FROM pnodes CROSS JOIN pn
+                   LEFT JOIN pc2 ON pc2.node = pnodes.node),
+            pc3 AS (SELECT e.dst AS node, SUM(p.pr / od.outdeg) AS s
+                    FROM e JOIN od USING (src) JOIN p2 p ON p.node = e.src
+                    GROUP BY e.dst),
+            p3 AS (SELECT pnodes.node,
+                          (1.0 - 0.85) / cnt + 0.85 * COALESCE(pc3.s, 0) AS pr
+                   FROM pnodes CROSS JOIN pn
+                   LEFT JOIN pc3 ON pc3.node = pnodes.node),
+            -- per-node degree / triangles / clustering
+            e0 AS (
+                SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+                FROM read_parquet('/root/repo/gfftoneo4j_ray/goldens/sf0_01_kg_edges.parquet')
+                WHERE src <> dst
+            ),
+            deg AS (
+                SELECT node, COUNT(*) AS degree FROM (
+                    SELECT a AS node FROM e0
+                    UNION ALL SELECT b AS node FROM e0)
+                GROUP BY node
+            ),
+            tri AS (
+                SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                FROM e0 e1
+                JOIN e0 e2 ON e2.a = e1.b
+                JOIN e0 e3 ON e3.a = e1.a AND e3.b = e2.b
+            ),
+            tcnt AS (
+                SELECT node, COUNT(*) AS triangles FROM (
+                    SELECT x AS node FROM tri
+                    UNION ALL SELECT y AS node FROM tri
+                    UNION ALL SELECT z AS node FROM tri)
+                GROUP BY node
+            ),
+            -- host-level hyperlink graph from the synthetic markup
+            nn AS (SELECT COUNT(*) AS n FROM documents),
             l AS (
                 SELECT 'site' || (doc_id % 7) || '.example.com' AS src_host,
                        'site' || (((doc_id*7 + 1) % n) % 5)
@@ -1630,8 +1707,58 @@ def oracle_sql() -> dict[str, str]:
                        'other' || (((doc_id*13 + 5) % n) % 3) || '.org'
                 FROM documents CROSS JOIN nn
             )
-            SELECT src_host, dst_host, COUNT(*) AS n_links
+            SELECT 'components' AS kind, node AS node_id,
+                   MIN(lab) AS sval, CAST(0 AS BIGINT) AS c1,
+                   CAST(0 AS BIGINT) AS c2, CAST(0 AS BIGINT) AS c3
+            FROM reach GROUP BY node
+            UNION ALL
+            SELECT 'pagerank', node, '',
+                   CAST(FLOOR(pr * 1000000 + 0.5) AS BIGINT), 0, 0
+            FROM p3
+            UNION ALL
+            SELECT 'stats', deg.node, '', deg.degree,
+                   COALESCE(tcnt.triangles, 0),
+                   CASE WHEN deg.degree >= 2 THEN
+                       (2 * COALESCE(tcnt.triangles, 0) * 1000000
+                        + (deg.degree * (deg.degree - 1)) // 2)
+                       // (deg.degree * (deg.degree - 1))
+                   ELSE 0 END
+            FROM deg LEFT JOIN tcnt ON tcnt.node = deg.node
+            UNION ALL
+            SELECT 'hostlink', src_host, dst_host, COUNT(*), 0, 0
             FROM l GROUP BY src_host, dst_host
+        """,
+        "q_quantiles": r"""
+            WITH h AS (
+                SELECT l_returnflag,
+                       CAST(FLOOR(quantile_disc(l_quantity, 0.5) * 100 + 0.5)
+                            AS BIGINT) AS p50_qty_c,
+                       CAST(FLOOR(quantile_disc(l_quantity, 0.9) * 100 + 0.5)
+                            AS BIGINT) AS p90_qty_c
+                FROM lineitem GROUP BY l_returnflag
+            ),
+            v AS (SELECT event_type,
+                         CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS vc
+                  FROM events),
+            r AS (SELECT event_type, vc,
+                         ROW_NUMBER() OVER (PARTITION BY event_type
+                                            ORDER BY vc) AS rn,
+                         COUNT(*) OVER (PARTITION BY event_type) AS n
+                  FROM v)
+            SELECT 'hist' AS kind, l_returnflag AS key, 'p50' AS q,
+                   p50_qty_c AS value_c FROM h
+            UNION ALL
+            SELECT 'hist', l_returnflag, 'p90', p90_qty_c FROM h
+            UNION ALL
+            SELECT 'select', event_type, 'p50', vc
+            FROM r WHERE rn = (n + 1) // 2
+            UNION ALL
+            SELECT 'select', event_type, 'p95', vc
+            FROM r WHERE rn = (19*n + 19) // 20
+        """,
+        "q_dedup_exact": r"""
+            SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dups
+            FROM documents GROUP BY text
         """,
         "q_bpe_merges": r"""
             SELECT rank, "left", "right", pair_count

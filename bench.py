@@ -349,8 +349,7 @@ def run_bench() -> dict:
         "q_doc_signatures",
         "q_heavy_hitters", "q_tfidf", "q_dsir_select", "q_quality_filter",
         "q_repetition_filter", "q_window_funcs", "q_sketches",
-        "q_count_distinct", "q_url_dedup", "q_bpe_merges",
-        "q_quantile_select"]
+        "q_count_distinct", "q_bpe_merges", "q_quantiles"]
     for name in qnames:
         best = None
         for _ in range(2):  # best-of-2: same host-variance rationale

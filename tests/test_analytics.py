@@ -38,12 +38,11 @@ def _norm(df: pd.DataFrame) -> pd.DataFrame:
 
 
 NEW_ORACLE_QUERIES = [
-    "q_pivot", "q_grouping_sets", "q_count_distinct", "q_quantile_hist",
+    "q_pivot", "q_grouping_sets", "q_count_distinct", "q_quantiles",
     "q_arg_max", "q_numeric_stats", "q_sample_hash", "q_dim_rollups",
     "q_heavy_hitters", "q_tfidf", "q_redact",
     "q_quality_filter", "q_repetition_filter", "q_window_funcs",
-    "q_dsir_select", "q_quantile_select", "q_url_dedup", "q_link_graph",
-    "q_perplexity_buckets",
+    "q_dsir_select",
 ]
 
 
@@ -567,3 +566,60 @@ def test_perplexity_buckets_semantics(ray_session):
     s = got.sort_values("nll_c")
     lab = [order[b] for b in s["bucket"]]
     assert lab == sorted(lab)
+
+
+def test_corpus_prep_urldedup_and_ppl_legs_vs_sql(entrymod, oracle_con,
+                                                  ray_session):
+    """The two round-5 q_corpus_prep legs (kind='urldedup', 'ppl')
+    value-match inline SQL at sf0.001 — the pack/mixture legs are
+    sf0.01-golden-pinned, so the whole-union check lives in the
+    driver gate; this pins the two SQL-expressible new legs at the
+    small scale too (incl. the ln-parity bigram LM)."""
+    got = entrymod.queries()["q_corpus_prep"](SF).to_pandas()
+    got = got[got["kind"].isin(["urldedup", "ppl"])]
+    want = oracle_con.execute("""
+        WITH toks AS (
+            SELECT doc_id, list_prepend('<s>', list_filter(
+                regexp_extract_all(lower(text), '[a-z0-9_''-]+'),
+                x -> x <> '')) AS arr
+            FROM documents),
+        bg AS (SELECT doc_id, arr[i] AS w1, arr[i + 1] AS w2
+               FROM toks, unnest(range(1, len(arr))) AS t(i)),
+        dbg AS (SELECT doc_id, w1, w2, COUNT(*) AS n
+                FROM bg GROUP BY doc_id, w1, w2),
+        tbg AS (SELECT w1, w2, SUM(n) AS c12 FROM dbg
+                WHERE doc_id < 50 GROUP BY w1, w2),
+        ctx AS (SELECT w1, SUM(c12) AS c1 FROM tbg GROUP BY w1),
+        v AS (SELECT COUNT(DISTINCT w2) AS vs FROM tbg),
+        terms AS (
+            SELECT dbg.doc_id, dbg.n,
+                   CAST(FLOOR((ln(COALESCE(ctx.c1, 0) + vs)
+                               - ln(COALESCE(tbg.c12, 0) + 1))
+                              * 10000 + 0.5) AS BIGINT) AS term_c
+            FROM dbg CROSS JOIN v
+            LEFT JOIN tbg USING (w1, w2) LEFT JOIN ctx USING (w1)),
+        nll AS (SELECT doc_id,
+                       CAST((SUM(n * term_c) + SUM(n) // 2)
+                            // SUM(n) AS BIGINT) AS nll_c
+                FROM terms GROUP BY doc_id),
+        th AS (SELECT
+            MAX(CASE WHEN rn = (cnt + 2) // 3 THEN nll_c END) AS t33,
+            MAX(CASE WHEN rn = (2*cnt + 2) // 3 THEN nll_c END) AS t67
+            FROM (SELECT nll_c, ROW_NUMBER() OVER (ORDER BY nll_c) AS rn,
+                         COUNT(*) OVER () AS cnt FROM nll))
+        SELECT 'urldedup' AS kind, MAX(doc_id) AS doc_id,
+               CAST(COUNT(*) AS BIGINT) AS val_i, canon AS val_s
+        FROM (SELECT doc_id,
+                     CASE WHEN doc_id % 5 = 4 THEN 'http' ELSE 'https'
+                     END || '://site' || ((doc_id // 3) % 7)
+                        || '.example.com/a/' || (doc_id // 3) AS canon
+              FROM documents)
+        GROUP BY canon
+        UNION ALL
+        SELECT 'ppl', n2.doc_id, n2.nll_c,
+               CASE WHEN n2.nll_c <= th.t33 THEN 'head'
+                    WHEN n2.nll_c <= th.t67 THEN 'middle'
+                    ELSE 'tail' END
+        FROM nll n2 CROSS JOIN th
+    """).fetchdf()
+    pd.testing.assert_frame_equal(_norm(got), _norm(want))
