@@ -89,7 +89,8 @@ def main(argv=None) -> int:
     pool = (1, max(1, args.concurrency))
     cfg = kg.KgConfig(lang=profile.lang, triples_concurrency=pool,
                       link_concurrency=pool, canon_concurrency=pool,
-                      extractor_cls=profile.triple_extractor_cls)
+                      extractor_cls=profile.triple_extractor_cls,
+                      text_extractor=profile.text_extractor)
     if args.incremental_from:
         from .incremental import run_incremental
 

@@ -41,6 +41,10 @@ class KgConfig:
     canon_batch_size: int = 4096
     # extraction strategy (profile surface); None = stages.triples.TripleExtractor
     extractor_cls: type | None = None
+    # html→text extractor (profile surface); None = the spec extractor
+    # (functions.text.extract_text_safe), or e.g.
+    # functions.boilerplate.extract_main_text_safe for real-web HTML
+    text_extractor: object = None
     input_columns: tuple = ("url", "warc_ts", "html", "lang")
     # read the input's reference `text` column too and record the
     # per-row byte-identity invariant into lineage (input_hint)
@@ -116,6 +120,10 @@ def stage_fingerprint(pages_path: str, n_pages: int, cfg: KgConfig,
     import hashlib as _hl
 
     extractor_name = (cfg.extractor_cls or triples.TripleExtractor).__name__
+    if cfg.text_extractor is not None:
+        # a resume with a different html→text extractor must re-extract
+        extractor_name += ":" + getattr(cfg.text_extractor, "__name__",
+                                        repr(cfg.text_extractor))
     dict_id = _hl.sha1(
         b"\x00".join(k.encode() for k in
                      dict_table.column("entity_key").to_pylist())
@@ -204,7 +212,8 @@ def run(pages_path: str, dict_path: str, out_root: str, *,
     # filters over the committed Parquet — never a second extraction.
     def text_stage(tmp: str) -> dict:
         _write_stage(extract_text.apply(pages,
-                                        batch_size=cfg.extract_batch_size),
+                                        batch_size=cfg.extract_batch_size,
+                                        extractor=cfg.text_extractor),
                      tmp, _text_schema(cfg.verify_text))
         return {}
 
@@ -241,7 +250,8 @@ def run(pages_path: str, dict_path: str, out_root: str, *,
         # parallel text pass stays.)
         text_ds = extract_text.clean_view(
             extract_text.apply(pages,
-                               batch_size=cfg.extract_batch_size)).materialize()
+                               batch_size=cfg.extract_batch_size,
+                               extractor=cfg.text_extractor)).materialize()
 
     mark("text")
 

@@ -20,7 +20,6 @@ from collections.abc import Callable
 from dataclasses import dataclass, field
 
 from ..functions import normalize
-from ..functions.text import extract_text_safe
 from ..stages.triples import TripleExtractor
 
 
@@ -30,7 +29,10 @@ class PipelineProfile:
     fns + one stateful class)."""
 
     name: str
-    text_extractor: Callable = extract_text_safe
+    # html→text head; None = the spec extractor (functions.text
+    # .extract_text_safe) — kept None rather than the function object
+    # so default-profile checkpoint fingerprints stay extractor-free
+    text_extractor: Callable | None = None
     triple_extractor_cls: type = TripleExtractor
     surface_key: normalize.KeyFn = field(
         default_factory=lambda: normalize.single_attribute("surface"))
@@ -63,6 +65,23 @@ register(PipelineProfile(
 register(PipelineProfile(
     name="webtext-multilingual",
     lang=None,
+    dictionary_builder=_default_dictionary,
+))
+
+
+def _main_content_extractor(html_bytes):
+    from ..functions.boilerplate import extract_main_text_safe
+
+    return extract_main_text_safe(html_bytes)
+
+
+# real-web variant: no <article> contract — jusText-style boilerplate
+# removal classifies content blocks (functions/boilerplate.py); same
+# spine, different html→text head
+register(PipelineProfile(
+    name="webtext-main",
+    lang="en",
+    text_extractor=_main_content_extractor,
     dictionary_builder=_default_dictionary,
 ))
 

@@ -22,7 +22,8 @@ from ..functions.text import extract_text_safe
 OUT_COLUMNS = ["url", "warc_ts", "text", "lang", "quarantine_reason"]
 
 
-def extract_text_batch(batch: pa.Table) -> pa.Table:
+def extract_text_batch(batch: pa.Table,
+                       extractor=extract_text_safe) -> pa.Table:
     """(url, warc_ts, html, ...) → (url, warc_ts, text, lang, quarantine_reason).
 
     ``text`` is the extracted article text (byte-identical per url on
@@ -30,6 +31,11 @@ def extract_text_batch(batch: pa.Table) -> pa.Table:
     If the input batch carries a reference ``text`` column, a
     ``text_match`` bool column records the per-row byte-identity
     invariant (BASELINE.json input_hint) — vectorized equality.
+
+    ``extractor`` is the profile surface (PipelineProfile
+    .text_extractor): any ``bytes|None -> (text, reason)`` — the spec
+    extractor by default, ``functions.boilerplate
+    .extract_main_text_safe`` for arbitrary real-web HTML.
     """
     import pyarrow.compute as pc
 
@@ -37,7 +43,7 @@ def extract_text_batch(batch: pa.Table) -> pa.Table:
     texts: list[str] = []
     reasons: list[str | None] = []
     for h in htmls:
-        t, r = extract_text_safe(h)
+        t, r = extractor(h)
         texts.append(t)
         reasons.append(r)
     extracted = pa.array(texts, pa.string())
@@ -53,9 +59,13 @@ def extract_text_batch(batch: pa.Table) -> pa.Table:
     return pa.table(cols)
 
 
-def apply(pages, batch_size: int = 1024):
+def apply(pages, batch_size: int = 1024, extractor=None):
     """pages Dataset → extracted Dataset (html dropped, quarantine tagged)."""
-    return pages.map_batches(extract_text_batch, batch_format="pyarrow",
+    import functools
+
+    fn = extract_text_batch if extractor is None else functools.partial(
+        extract_text_batch, extractor=extractor)
+    return pages.map_batches(fn, batch_format="pyarrow",
                              batch_size=batch_size)
 
 
