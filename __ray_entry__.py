@@ -449,6 +449,13 @@ def q_corpus_prep(sf_dir: str):
           (q_perplexity_buckets: val_i = per-token nll ×10⁴,
           val_s = head|middle|tail); full SQL oracle (bigram LM +
           ln-parity + ROW_NUMBER tertiles).
+      kind='clf'        — distributed logistic-regression quality
+          classifier (ops/classifier.py: hashed-BoW featurize →
+          int64-exact full-batch GD → scoring) on the planted
+          separable task; val_i = σ(x·w)×10⁶, val_s = 'pred:y'.
+          Golden oracle recomputed SEQUENTIALLY and independently in
+          tools/make_goldens.py (plain dict/loop reference — pins
+          distributed training bit-exact to sequential).
 
     Execution layout (round 5): the three map-side legs (line_dedup
     rewrite, contam scan, mixture keep) FUSE into one corpus scan —
@@ -464,12 +471,15 @@ def q_corpus_prep(sf_dir: str):
 
     from concurrent.futures import ThreadPoolExecutor
 
+    from gfftoneo4j_ray.ops import classifier as Clf
+
     docs = _docs(sf_dir)
-    pool = ThreadPoolExecutor(max_workers=4)
+    pool = ThreadPoolExecutor(max_workers=5)
     banned_fut = pool.submit(dedup.banned_line_hashes, docs, 2)
     pk_fut = pool.submit(A.pack_sequences, docs, 2048)
     url_fut = pool.submit(q_url_dedup, sf_dir)
     ppl_fut = pool.submit(A.q_perplexity_buckets, sf_dir)
+    clf_fut = pool.submit(Clf.q_quality_classifier, sf_dir)
 
     # probe suite: bounded driver pull (benchmark-suite-sized by
     # construction — 10 docs), the same shape as a real decontamination
@@ -544,9 +554,22 @@ def q_corpus_prep(sf_dir: str):
             "val_s": t["bucket"].cast(pa.string()),
         })
 
+    def tag_clf(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc2
+
+        lab = pc2.binary_join_element_wise(
+            t["pred"].cast(pa.string()), t["y"].cast(pa.string()), ":")
+        return pa.table({
+            "kind": pa.array(["clf"] * t.num_rows, pa.string()),
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "val_i": t["score_c"].cast(pa.int64()),
+            "val_s": lab,
+        })
+
     url = url_fut.result().map_batches(tag_url, batch_format="pyarrow")
     ppl = ppl_fut.result().map_batches(tag_ppl, batch_format="pyarrow")
-    return fused_ds.union(pk).union(url).union(ppl)
+    clf = clf_fut.result().map_batches(tag_clf, batch_format="pyarrow")
+    return fused_ds.union(pk).union(url).union(ppl).union(clf)
 
 
 def q_dedup_exact(sf_dir: str):
@@ -1625,6 +1648,12 @@ def oracle_sql() -> dict[str, str]:
                         WHEN n2.nll_c <= th.t67 THEN 'middle'
                         ELSE 'tail' END
             FROM nll n2 CROSS JOIN th
+            UNION ALL
+            -- clf: sequential-GD golden (tools/make_goldens.py) — the
+            -- distributed trainer must reproduce it bit-exact
+            SELECT 'clf', doc_id, score_c,
+                   CAST(pred AS VARCHAR) || ':' || CAST(y AS VARCHAR)
+            FROM read_parquet('/root/repo/gfftoneo4j_ray/goldens/sf0_01_clf.parquet')
         """,
         "q_kg_analytics": r"""
             WITH RECURSIVE e AS (

@@ -192,6 +192,61 @@ def main() -> None:
     }), os.path.join(OUT, "sf0_01_mixture.parquet"))
     print("mixture golden:", len(mix), "of", len(docs_pd), "kept")
 
+    # --- quality-classifier golden (q_corpus_prep 'clf' slice):
+    # SEQUENTIAL, INDEPENDENT plain dict/loop reimplementation of
+    # hashed-BoW featurize → int64-quantized full-batch GD with
+    # momentum → scoring. Must mirror ops/classifier.py's
+    # q_quality_classifier constants (dim=256, iters=100, lr=8.0,
+    # momentum=0.9) — the committed rows pin distributed TRAINING
+    # bit-exact to sequential --------------------------------------
+    from gfftoneo4j_ray.functions.hashing import stable_hash64
+    from gfftoneo4j_ray.ops.classifier import (
+        GRAD_SCALE, SCORE_SCALE, planted_weights)
+
+    dim, iters, lr, mom = 256, 100, 8.0, 0.9
+    feats = []
+    for text in docs_pd.sort_values("doc_id")["text"].tolist():
+        toks = [x for x in _re.split(r"[^a-z0-9_'-]+", (text or "").lower())
+                if x]
+        counts: dict[int, float] = {}
+        for tok in toks:
+            hh = int(stable_hash64([tok])[0]) % dim  # int() BEFORE mod
+            counts[hh] = counts.get(hh, 0.0) + 1.0
+        norm = np.sqrt(sum(v * v for v in counts.values())) or 1.0
+        pairs = sorted((k, v / norm) for k, v in counts.items())
+        pairs.append((dim, 1.0))
+        feats.append(pairs)
+    wstar = planted_weights(dim)
+    ys = [1 if sum(v * wstar[k] for k, v in pairs) > 0 else 0
+          for pairs in feats]
+    w = np.zeros(dim + 1)
+    vel = np.zeros(dim + 1)
+    for _ in range(iters):
+        grad = np.zeros(dim + 1, np.int64)
+        for pairs, yi in zip(feats, ys):
+            z = sum(v * w[k] for k, v in pairs)
+            r = 1.0 / (1.0 + np.exp(-z)) - yi
+            for k, v in pairs:
+                grad[k] += np.int64(np.floor(v * r * GRAD_SCALE + 0.5))
+        gf = grad.astype(np.float64) / GRAD_SCALE / len(feats)
+        vel = mom * vel - lr * gf
+        w = w + vel
+    clf_ids = docs_pd.sort_values("doc_id")["doc_id"].tolist()
+    score_c, pred = [], []
+    for pairs in feats:
+        z = sum(v * w[k] for k, v in pairs)
+        p = 1.0 / (1.0 + np.exp(-z))
+        score_c.append(int(np.floor(p * SCORE_SCALE + 0.5)))
+        pred.append(1 if z > 0 else 0)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(clf_ids, pa.int64()),
+        "score_c": pa.array(score_c, pa.int64()),
+        "pred": pa.array(pred, pa.int64()),
+        "y": pa.array(ys, pa.int64()),
+    }), os.path.join(OUT, "sf0_01_clf.parquet"))
+    acc = sum(int(a == b) for a, b in zip(pred, ys)) / len(ys)
+    print(f"clf golden: {len(ys)} docs, seq train accuracy {acc:.3f}")
+
     # --- HLL estimate golden (deterministic sketch; the oracle joins
     # this against a real SQL COUNT(DISTINCT) and recomputes err_c) ----
     from gfftoneo4j_ray.ops.windowed import hll_distinct
