@@ -233,6 +233,20 @@ def q_kg_stats(sf_dir: str):
         rename, batch_format="pyarrow")
 
 
+def q_kg_kcore(sf_dir: str):
+    """k-core decomposition over the constructed KG (h-index fixpoint
+    rounds — each one bucketed shuffle join + one per-node H-index
+    aggregate; see ops/graph_algos.py::core_numbers). Oracle = an
+    independent sequential Batagelj-Zaversnik peel recomputed by
+    tools/make_goldens.py over the golden edges (coreness is
+    integer-exact, so distributed == sequential is an equality pin)."""
+    import ray
+
+    res = _ensure_kg_run(sf_dir)
+    edges = ray.data.read_parquet(res["edges_dir"], columns=["src", "dst"])
+    return graph_algos.core_numbers(edges)
+
+
 def q_kg_analytics(sf_dir: str):
     """All four graph-analytics pipelines in ONE scored slot, layout
     (kind, node_id, sval, c1, c2, c3):
@@ -248,20 +262,27 @@ def q_kg_analytics(sf_dir: str):
       kind='hostlink'   — host-level hyperlink graph (q_link_graph:
           node_id = src_host, sval = dst_host, c1 = n_links); full SQL
           oracle from the same synthetic-markup arithmetic.
+      kind='kcore'      — k-core decomposition (q_kg_kcore: c1 = core
+          number per node, h-index fixpoint rounds —
+          ops/graph_algos.py::core_numbers); golden oracle: an
+          independent sequential Batagelj-Zaversnik peel in
+          tools/make_goldens.py over the golden edges.
 
-    The KG is built once (_ensure_kg_run), then the four legs run
+    The KG is built once (_ensure_kg_run), then the five legs run
     overlapped on driver threads (independent Dataset pipelines)."""
     import pyarrow as pa
 
     from concurrent.futures import ThreadPoolExecutor
 
     _ensure_kg_run(sf_dir)
-    with ThreadPoolExecutor(max_workers=4) as pool:
+    with ThreadPoolExecutor(max_workers=5) as pool:
         fc = pool.submit(q_kg_components, sf_dir)
         fp = pool.submit(q_kg_pagerank, sf_dir)
         fs = pool.submit(q_kg_stats, sf_dir)
         fl = pool.submit(q_link_graph, sf_dir)
-        comp, pr, st, lg = (f.result() for f in (fc, fp, fs, fl))
+        fk = pool.submit(q_kg_kcore, sf_dir)
+        comp, pr, st, lg, kc = (f.result()
+                                for f in (fc, fp, fs, fl, fk))
 
     def z(n: int) -> pa.Array:
         return pa.array([0] * n, pa.int64())
@@ -303,10 +324,19 @@ def q_kg_analytics(sf_dir: str):
             "sval": t["dst_host"].cast(pa.string()),
             "c1": t["n_links"].cast(pa.int64()), "c2": z(n), "c3": z(n)})
 
+    def tag_kc(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({
+            "kind": pa.array(["kcore"] * n, pa.string()),
+            "node_id": t["node"].cast(pa.string()),
+            "sval": e(n),
+            "c1": t["core"].cast(pa.int64()), "c2": z(n), "c3": z(n)})
+
     return comp.map_batches(tag_comp, batch_format="pyarrow") \
         .union(pr.map_batches(tag_pr, batch_format="pyarrow")) \
         .union(st.map_batches(tag_st, batch_format="pyarrow")) \
-        .union(lg.map_batches(tag_lg, batch_format="pyarrow"))
+        .union(lg.map_batches(tag_lg, batch_format="pyarrow")) \
+        .union(kc.map_batches(tag_kc, batch_format="pyarrow"))
 
 
 def q_quantiles(sf_dir: str):
@@ -1756,6 +1786,12 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'hostlink', src_host, dst_host, COUNT(*), 0, 0
             FROM l GROUP BY src_host, dst_host
+            UNION ALL
+            -- kcore: sequential Batagelj-Zaversnik peel golden
+            -- (tools/make_goldens.py) — integer coreness, so the
+            -- distributed h-index fixpoint must reproduce it exactly
+            SELECT 'kcore', node, '', core, 0, 0
+            FROM read_parquet('/root/repo/gfftoneo4j_ray/goldens/sf0_01_kcore.parquet')
         """,
         "q_quantiles": r"""
             WITH h AS (

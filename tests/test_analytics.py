@@ -623,3 +623,57 @@ def test_corpus_prep_urldedup_and_ppl_legs_vs_sql(entrymod, oracle_con,
         FROM nll n2 CROSS JOIN th
     """).fetchdf()
     pd.testing.assert_frame_equal(_norm(got), _norm(want))
+
+
+def test_core_numbers_matches_sequential_peel(ray_session):
+    """Distributed h-index-fixpoint coreness equals an independent
+    sequential Batagelj-Zaversnik peel on a random graph with a
+    planted clique, self-loops and reversed duplicates mixed in — at
+    two bucket layouts (integer values, so equality is exact)."""
+    import random
+
+    import ray
+
+    from gfftoneo4j_ray.ops.graph_algos import core_numbers
+
+    rng = random.Random(11)
+    nodes = [f"n{i:02d}" for i in range(40)]
+    pairs = set()
+    for _ in range(150):
+        a, b = rng.sample(nodes, 2)
+        pairs.add((a, b))
+    clique = [f"c{i}" for i in range(6)]          # planted 6-clique
+    for i in range(6):
+        for j in range(i + 1, 6):
+            pairs.add((clique[i], clique[j]))
+    pairs.add((clique[0], nodes[0]))              # attach to the graph
+    some = list(sorted(pairs))[:15]
+    src = [a for a, b in pairs] + ["n00", "n07"] + [b for a, b in some]
+    dst = [b for a, b in pairs] + ["n00", "n07"] + [a for a, b in some]
+
+    # sequential peel (min-remaining-degree order; coreness = running
+    # max of the removal degree — the degeneracy-ordering identity)
+    adj: dict[str, set[str]] = {}
+    for a, b in zip(src, dst):
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    rem = {v: len(ns) for v, ns in adj.items()}
+    core: dict[str, int] = {}
+    peak = 0
+    while rem:
+        v = min(rem, key=lambda x: (rem[x], x))
+        peak = max(peak, rem[v])
+        core[v] = peak
+        for u in adj[v]:
+            if u in rem:
+                rem[u] -= 1
+        del rem[v]
+
+    for buckets in (4, 16):
+        got = core_numbers(
+            ray.data.from_arrow(pa.table({"src": src, "dst": dst})),
+            num_buckets=buckets).to_pandas()
+        gm = dict(zip(got["node"], got["core"]))
+        assert gm == core, buckets
+    assert all(core[c] == 5 for c in clique)      # the planted 6-clique

@@ -61,6 +61,37 @@ def main() -> None:
     pq.write_table(edges, os.path.join(OUT, "sf0_01_kg_edges.parquet"))
     print("kg goldens:", nodes.num_rows, "nodes,", edges.num_rows, "edges")
 
+    # --- k-core golden (q_kg_analytics 'kcore' slice): SEQUENTIAL,
+    # INDEPENDENT Batagelj-Zaversnik peel over the golden edges'
+    # undirected distinct view — the distributed h-index fixpoint
+    # (ops/graph_algos.py::core_numbers) must reproduce the integer
+    # coreness exactly ------------------------------------------------
+    import collections as _col
+
+    adj: dict = _col.defaultdict(set)
+    for s, d in zip(edges["src"].to_pylist(), edges["dst"].to_pylist()):
+        if s != d:
+            adj[s].add(d)
+            adj[d].add(s)
+    rem = {v: len(ns) for v, ns in adj.items()}
+    core: dict = {}
+    peak = 0
+    while rem:
+        v = min(rem, key=lambda x: (rem[x], x))
+        peak = max(peak, rem[v])
+        core[v] = peak
+        for u in adj[v]:
+            if u in rem and u != v:
+                rem[u] -= 1
+        del rem[v]
+    knodes = sorted(core)
+    pq.write_table(pa.table({
+        "node": pa.array(knodes, pa.string()),
+        "core": pa.array([core[k] for k in knodes], pa.int64()),
+    }), os.path.join(OUT, "sf0_01_kcore.parquet"))
+    print("kcore golden:", len(knodes), "nodes, max core",
+          max(core.values(), default=0))
+
     # --- kg_triples golden (sequential single-batch extraction) ------------
     # the sequential form of __ray_entry__.q_kg_triples: extract text,
     # drop quarantined pages, lang-gate to "en", run the SAME
