@@ -49,8 +49,12 @@ def _read_ifd(p: bytes, bo: str) -> dict[int, tuple[int, ...]]:
         if off + 12 > len(p):
             raise ValueError("truncated TIFF IFD entry")
         tag, ftype, count = struct.unpack_from(bo + "HHI", p, off)
-        if ftype not in _TYPE_SIZE:
-            continue  # RATIONAL/DOUBLE/... — nothing we need
+        if ftype not in _TYPE_FMT:
+            # ASCII/RATIONAL/DOUBLE/... — nothing the raster path
+            # needs (gating on _TYPE_SIZE alone let ASCII tags — type
+            # 2, present in most real TIFFs as Software/DateTime —
+            # fall through to a KeyError below, killing the decode)
+            continue
         size = _TYPE_SIZE[ftype] * count
         voff = off + 8 if size <= 4 else \
             struct.unpack_from(bo + "I", p, off + 8)[0]

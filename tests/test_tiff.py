@@ -274,3 +274,42 @@ def test_tiff_rejects_unsupported():
     # truncated strip payload
     with pytest.raises(ValueError):
         decode_tiff(bytes(good[:-10]))
+
+
+def test_tiff_ascii_and_rational_tags_are_skipped():
+    """Regression: real-world TIFFs carry ASCII (type 2) Software /
+    DateTime and RATIONAL (type 5) resolution tags. The IFD reader
+    must skip every field type outside its raster set — gating on
+    _TYPE_SIZE alone let type 2 (size-mapped but format-unmapped)
+    reach _TYPE_FMT and KeyError, killing the whole decode."""
+    g = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    sw = b"pytest\x00"
+    xres = struct.pack("<II", 72, 1)
+    # hand-built single-strip grayscale file:
+    # header(8) | IFD(2 + 12*n + 4) | software | xres | pixels
+    tags = [
+        (256, 4, 1, struct.pack("<I", 4)),          # width
+        (257, 4, 1, struct.pack("<I", 3)),          # height
+        (258, 3, 1, struct.pack("<HH", 8, 0)),      # bits/sample
+        (259, 3, 1, struct.pack("<HH", 1, 0)),      # no compression
+        (262, 3, 1, struct.pack("<HH", 1, 0)),      # BlackIsZero
+        (277, 3, 1, struct.pack("<HH", 1, 0)),      # samples/pixel
+        (278, 4, 1, struct.pack("<I", 3)),          # rows/strip
+        (279, 4, 1, struct.pack("<I", g.size)),     # strip byte count
+    ]
+    n_dir = len(tags) + 3  # + Software, XResolution, StripOffsets
+    ifd_off = 8
+    sw_off = ifd_off + 2 + 12 * n_dir + 4
+    xres_off = sw_off + len(sw)
+    data_off = xres_off + len(xres)
+    tags.append((273, 4, 1, struct.pack("<I", data_off)))   # StripOffsets
+    tags.append((305, 2, len(sw), struct.pack("<I", sw_off)))   # Software
+    tags.append((282, 5, 1, struct.pack("<I", xres_off)))   # XResolution
+    tags.sort()
+    out = bytearray(b"II*\x00" + struct.pack("<I", ifd_off))
+    out += struct.pack("<H", n_dir)
+    for tag, ftype, count, val4 in tags:
+        out += struct.pack("<HHI", tag, ftype, count) + val4
+    out += struct.pack("<I", 0)
+    out += sw + xres + g.tobytes()
+    assert np.array_equal(decode_tiff(bytes(out)), g)
