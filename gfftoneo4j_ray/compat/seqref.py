@@ -298,3 +298,26 @@ def sequential_bpe(texts, n_merges: int, token_re=None):
             new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + c
         vocab = new_vocab
     return merges
+
+
+def bpe_replay_segment(word: str, merges) -> tuple:
+    """Apply a trained merge list to one word IN TRAINING (rank) order
+    — by construction this reproduces exactly the segmentation the
+    sequential trainer's final vocab holds for every training word,
+    making it the independent reference the distributed greedy
+    lowest-rank encoder (stages/bpe.py BPEEncoder) is checked against."""
+    sym = list(word)
+    sym.append("</w>")
+    for row in merges:
+        left, right = (row[1], row[2]) if len(row) >= 3 else row
+        out, i = [], 0
+        while i < len(sym):
+            if (i + 1 < len(sym) and sym[i] == left
+                    and sym[i + 1] == right):
+                out.append(left + right)
+                i += 2
+            else:
+                out.append(sym[i])
+                i += 1
+        sym = out
+    return tuple(sym)

@@ -192,3 +192,153 @@ def train_bpe(docs_ds, text_col: str = "text", *, n_merges: int = 40,
                      "right": pa.array(rights, pa.string()),
                      "pair_count": pa.array(counts, pa.int64())},
                     schema=MERGES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Corpus encoding with a trained merge table
+# ---------------------------------------------------------------------------
+
+def _merge_pairs(merges) -> list:
+    """Merge table (arrow MERGES_SCHEMA table or [(l, r), ...] /
+    [(rank, l, r, cnt), ...] rows) → [(left, right)] in rank order."""
+    if isinstance(merges, pa.Table):
+        t = merges.sort_by("rank") if "rank" in merges.column_names \
+            else merges
+        return list(zip(t["left"].to_pylist(), t["right"].to_pylist()))
+    out = []
+    for row in merges:
+        out.append((row[1], row[2]) if len(row) >= 3 else tuple(row))
+    return out
+
+
+class BPEEncoder:
+    """Actor-pool map_batches kernel: apply a trained merge table to a
+    text column (canonical greedy lowest-rank-first apply — the
+    subword-nmt / SentencePiece-BPE encode order, which reproduces the
+    trainer's final segmentation on every training word).
+
+    Scale shape: the merge table is vocab-bounded state handed to each
+    actor once at construction; per batch the text tokenizes in one
+    RE2 pass, encoding runs over the batch's DISTINCT words only, and
+    segmentations cache across batches — per-actor work and memory are
+    bounded by the corpus's distinct-word vocabulary (the same bound
+    the trainer holds), never token count. The per-distinct-word merge
+    loop is per-row by nature (each word carries its own rank
+    sequence), the same adjudicated shape as the MinHash/sha1 kernels.
+    """
+
+    def __init__(self, merges, text_col: str = "text",
+                 id_col: str = "doc_id", emit: str = "n_tokens"):
+        pairs = _merge_pairs(merges)
+        self.rank = {p: i for i, p in enumerate(pairs)}
+        self.text_col, self.id_col, self.emit = text_col, id_col, emit
+        self._cache: dict = {}
+
+    def _encode(self, word: str) -> tuple:
+        got = self._cache.get(word)
+        if got is not None:
+            return got
+        sym = list(word)
+        sym.append("</w>")
+        rank = self.rank
+        while len(sym) > 1:
+            best_r, best_p = None, None
+            for p in zip(sym, sym[1:]):
+                r = rank.get(p)
+                if r is not None and (best_r is None or r < best_r):
+                    best_r, best_p = r, p
+            if best_p is None:
+                break
+            left, right = best_p
+            out, i = [], 0
+            while i < len(sym):
+                if (i + 1 < len(sym) and sym[i] == left
+                        and sym[i + 1] == right):
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            sym = out
+        got = tuple(sym)
+        self._cache[word] = got
+        return got
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from ..ops.analytics import _tokens_flat
+
+        flat, parent = _tokens_flat(t[self.text_col])
+        words = flat.to_numpy(zero_copy_only=False)
+        uw, inv = np.unique(words, return_inverse=True)
+        segs = [self._encode(w) for w in uw]
+        if self.emit == "tokens":
+            # per-doc ordered token lists (debug / small-corpus path —
+            # token text re-materializes, n_tokens is the scale emit)
+            per_doc: list = [[] for _ in range(t.num_rows)]
+            pn = parent.to_numpy(zero_copy_only=False)
+            for j, word_idx in enumerate(inv):
+                per_doc[pn[j]].extend(segs[word_idx])
+            return pa.table({
+                self.id_col: t[self.id_col],
+                "bpe_tokens": pa.array(per_doc,
+                                       pa.list_(pa.string()))})
+        lens = np.fromiter((len(s) for s in segs), np.int64, len(uw))
+        n = np.bincount(parent.to_numpy(zero_copy_only=False),
+                        weights=lens[inv] if len(inv) else None,
+                        minlength=t.num_rows).astype(np.int64) \
+            if len(words) else np.zeros(t.num_rows, np.int64)
+        return pa.table({self.id_col: t[self.id_col],
+                         "n_bpe_tokens": pa.array(n, pa.int64())})
+
+
+def encode_corpus(docs_ds, merges, *, text_col: str = "text",
+                  id_col: str = "doc_id", emit: str = "n_tokens",
+                  concurrency=(1, 8), batch_size: int = 1024):
+    """Per-document BPE token counts (``emit='n_tokens'``, the scale
+    path feeding sequence packing / token budgeting) or ordered token
+    lists (``emit='tokens'``) under a trained merge table."""
+    return docs_ds.map_batches(
+        BPEEncoder,
+        fn_constructor_kwargs=dict(merges=merges, text_col=text_col,
+                                   id_col=id_col, emit=emit),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency)
+
+
+def token_frequencies(docs_ds, merges, *, text_col: str = "text",
+                      num_buckets: int = 32,
+                      concurrency=(1, 8)) -> pa.Table:
+    """Corpus-wide (token, cnt) frequency table under a trained merge
+    table — the unigram distribution a tokenizer report / sampling
+    temperature needs. Map-side partials are vocab-bounded (distinct
+    words per batch × symbols), globally reduced by the two-phase
+    hash aggregate."""
+    from ..ops.hashagg import hash_aggregate
+
+    class _Partial(BPEEncoder):
+        def __call__(self, t: pa.Table) -> pa.Table:
+            from ..ops.analytics import _tokens_flat
+
+            flat, _ = _tokens_flat(t[self.text_col])
+            words = flat.to_numpy(zero_copy_only=False)
+            if len(words) == 0:
+                return pa.table({"token": pa.array([], pa.string()),
+                                 "cnt": pa.array([], pa.int64())})
+            uw, counts = np.unique(words, return_counts=True)
+            toks: list = []
+            occ: list = []
+            for w, c in zip(uw, counts):
+                seg = self._encode(w)
+                toks.extend(seg)
+                occ.extend([int(c)] * len(seg))
+            g = pa.table({"token": pa.array(toks, pa.string()),
+                          "cnt": pa.array(occ, pa.int64())}) \
+                .group_by(["token"]).aggregate([("cnt", "sum")])
+            return g.rename_columns(["token", "cnt"])
+
+    partials = docs_ds.map_batches(
+        _Partial, fn_constructor_kwargs=dict(merges=merges,
+                                             text_col=text_col),
+        batch_format="pyarrow", concurrency=concurrency)
+    return hash_aggregate(partials, "token", [("cnt", "sum", "cnt")],
+                          num_buckets=num_buckets)
