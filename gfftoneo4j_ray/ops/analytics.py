@@ -188,31 +188,39 @@ def q_redact(sf_dir: str):
 # Quality filter (Gopher-style threshold rules)
 # ---------------------------------------------------------------------------
 
+def quality_gate_stats(text: pa.Array | pa.ChunkedArray):
+    """(keep mask, n_tok, mean_tok_c, alpha_c) for the integer-exact
+    quality gates: token count, mean token length (scaled cents),
+    alphabetic ratio (scaled 1e4). All three stats come from
+    count_substring_regex C kernels; the thresholds compare scaled
+    integers so the engine and the SQL oracle can never disagree on a
+    boundary float. Shared by the q_quality_filter slot and the
+    corpus-export pipeline's gate stage."""
+    n_chars = pc.cast(pc.utf8_length(text), pa.int64()) \
+        .to_numpy(zero_copy_only=False)
+    n_tok = pc.cast(pc.count_substring_regex(text, r"\S+"), pa.int64()) \
+        .to_numpy(zero_copy_only=False)
+    nonspace = pc.cast(pc.count_substring_regex(text, r"\S"), pa.int64()) \
+        .to_numpy(zero_copy_only=False)
+    alpha = pc.cast(pc.count_substring_regex(text, "[a-z]"), pa.int64()) \
+        .to_numpy(zero_copy_only=False)
+    safe_tok = np.maximum(n_tok, 1)
+    mean_tok_c = np.floor(
+        nonspace.astype(np.float64) / safe_tok * 100 + 0.5).astype(np.int64)
+    alpha_c = np.floor(alpha.astype(np.float64)
+                       / np.maximum(n_chars, 1) * 10000 + 0.5).astype(np.int64)
+    keep = (n_tok >= 20) & (mean_tok_c >= 250) & (mean_tok_c <= 800) \
+        & (alpha_c >= 5500)
+    return keep, n_tok, mean_tok_c, alpha_c
+
+
 def q_quality_filter(sf_dir: str):
-    """Keep documents passing integer-exact quality gates: token count,
-    mean token length (scaled cents), alphabetic ratio (scaled 1e4).
-    All three stats come from count_substring_regex C kernels; the
-    thresholds compare scaled integers so the engine and the oracle
-    can never disagree on a boundary float."""
+    """Documents passing the integer-exact quality gates (see
+    quality_gate_stats), with their gate stats."""
     ds = _docs(sf_dir)
 
     def fn(t: pa.Table) -> pa.Table:
-        text = t["text"]
-        n_chars = pc.cast(pc.utf8_length(text), pa.int64()) \
-            .to_numpy(zero_copy_only=False)
-        n_tok = pc.cast(pc.count_substring_regex(text, r"\S+"), pa.int64()) \
-            .to_numpy(zero_copy_only=False)
-        nonspace = pc.cast(pc.count_substring_regex(text, r"\S"), pa.int64()) \
-            .to_numpy(zero_copy_only=False)
-        alpha = pc.cast(pc.count_substring_regex(text, "[a-z]"), pa.int64()) \
-            .to_numpy(zero_copy_only=False)
-        safe_tok = np.maximum(n_tok, 1)
-        mean_tok_c = np.floor(
-            nonspace.astype(np.float64) / safe_tok * 100 + 0.5).astype(np.int64)
-        alpha_c = np.floor(alpha.astype(np.float64)
-                           / np.maximum(n_chars, 1) * 10000 + 0.5).astype(np.int64)
-        keep = (n_tok >= 20) & (mean_tok_c >= 250) & (mean_tok_c <= 800) \
-            & (alpha_c >= 5500)
+        keep, n_tok, mean_tok_c, alpha_c = quality_gate_stats(t["text"])
         return pa.table({
             "doc_id": t["doc_id"].filter(pa.array(keep)),
             "n_tokens": pa.array(n_tok[keep], pa.int64()),
@@ -429,7 +437,7 @@ def make_contamination_scan(probe_texts: list[str], n: int = 8,
 
 def pack_sequences(docs_ds, budget_tokens: int = 2048,
                    text_col: str = "text", id_col: str = "doc_id",
-                   num_buckets: int = 32):
+                   num_buckets: int = 32, counts_col: str | None = None):
     """Pack documents into fixed token-budget training sequences:
     first-fit-decreasing WITHIN each hash bucket of documents →
     (pack_id, doc_id, n_tokens). Every document appears exactly once;
@@ -443,13 +451,21 @@ def pack_sequences(docs_ds, budget_tokens: int = 2048,
     for a shuffle-free scale-out — the fill loss is bounded by one
     partially-filled pack per bucket. Token counts are the shared
     whitespace-token kernel (textstats), computed map-side; only
-    (doc_id, n_tokens) rows enter the exchange."""
+    (doc_id, n_tokens) rows enter the exchange. Pass ``counts_col`` to
+    pack by a precomputed per-doc token-count column instead (e.g.
+    ``n_bpe_tokens`` from stages/bpe.encode_corpus — the corpus-export
+    pipeline's path); ``text_col`` is then unused."""
     from ..functions.textstats import text_stats_batch
     from .exchange import bucketed_map_groups
 
     def sizes(t: pa.Table) -> pa.Table:
-        s = text_stats_batch(t, text_col=text_col, id_col=id_col)
-        out = s.select([id_col, "n_tokens"])
+        if counts_col is not None:
+            out = pa.table({id_col: t[id_col],
+                            "n_tokens": pc.cast(t[counts_col],
+                                                pa.int64())})
+        else:
+            s = text_stats_batch(t, text_col=text_col, id_col=id_col)
+            out = s.select([id_col, "n_tokens"])
         return append_bucket(out, [id_col], num_buckets)
 
     def pack_bucket(g: pa.Table) -> pa.Table:

@@ -64,12 +64,17 @@ def _shard_of(keys: np.ndarray, num_shards: int) -> np.ndarray:
 
 def shuffle_export(ds, out_dir: str, *, seed: int = 0,
                    num_shards: int = 16, id_col: str = "doc_id",
-                   resume: bool = True) -> int:
+                   order_cols: tuple = (), resume: bool = True) -> int:
     """Export ``ds`` to ``out_dir/shard-{i:05d}.parquet`` in the seeded
     global shuffle order; returns total rows written. With ``resume``,
     shards whose files already exist are not rewritten (their row
     counts are read from parquet metadata) — a failed export reruns
-    only its missing shards."""
+    only its missing shards.
+
+    When ``id_col`` is not unique per row (e.g. pack_id when exporting
+    packed sequences — all members of a pack share the key and shuffle
+    as a unit), pass ``order_cols`` to fix the within-group row order
+    deterministically (full sort: key, id, *order_cols)."""
     from .exchange import bucket_exchange
 
     os.makedirs(out_dir, exist_ok=True)
@@ -96,7 +101,9 @@ def shuffle_export(ds, out_dir: str, *, seed: int = 0,
         if t is None or t.num_rows == 0:
             body = base.empty_table()
         else:
-            order = np.lexsort((
+            tail = [t[c].to_numpy(zero_copy_only=False)
+                    for c in reversed(order_cols)]
+            order = np.lexsort(tuple(tail) + (
                 t[id_col].to_numpy(zero_copy_only=False),
                 t["_key"].to_numpy(zero_copy_only=False)))
             body = t.take(order).drop_columns(["_key"])
