@@ -46,6 +46,21 @@ def build_parser() -> argparse.ArgumentParser:
                    help="ray.init num_cpus for standalone runs")
     p.add_argument("--concurrency", type=int, default=4,
                    help="max actors per stateful stage")
+    ce = p.add_argument_group("corpus export (training shards)")
+    ce.add_argument("--corpus-export", action="store_true",
+                    help="run the documents→training-shards pipeline "
+                         "instead of KG construction: --input is a "
+                         "documents parquet (doc_id, text), --output "
+                         "receives shard-{i:05d}.parquet files "
+                         "(pipelines/corpus_export.py)")
+    ce.add_argument("--shards", type=int, default=64,
+                    help="number of output shards")
+    ce.add_argument("--seed", type=int, default=0,
+                    help="shuffle seed for the export order")
+    ce.add_argument("--budget-tokens", type=int, default=2048,
+                    help="token budget per packed sequence")
+    ce.add_argument("--n-merges", type=int, default=40,
+                    help="BPE merges to train for token counting")
     return p
 
 
@@ -69,6 +84,20 @@ def main(argv=None) -> int:
         if address == "local":
             kwargs.update(num_cpus=args.num_cpus, include_dashboard=False)
         ray.init(**kwargs)
+
+    if args.corpus_export:
+        from .corpus_export import run_corpus_export
+
+        ds = ray.data.read_parquet(args.input,
+                                   columns=["doc_id", "text"])
+        res = run_corpus_export(
+            ds, args.output, n_merges=args.n_merges,
+            budget_tokens=args.budget_tokens, seed=args.seed,
+            num_shards=args.shards)
+        res["ray_address"] = ray.get_runtime_context().gcs_address
+        print(json.dumps(res))
+        ray.shutdown()
+        return 0
 
     from . import kg
 

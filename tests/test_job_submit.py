@@ -74,3 +74,31 @@ def test_cli_incremental_update(ray_session, tiny_corpus, tmp_path):
     import pyarrow.dataset as pads
 
     assert pads.dataset(res["nodes_dir"], format="parquet").count_rows() > 0
+
+
+def test_cli_corpus_export(ray_session, tmp_path):
+    """--corpus-export routes to the training-shard pipeline: fixed
+    shard layout, every shard parquet, result JSON with counts."""
+    gcs = ray_session.get_runtime_context().gcs_address
+    env = {**os.environ, "RAY_ADDRESS": gcs,
+           "PYTHONPATH": REPO + os.pathsep + os.environ.get("PYTHONPATH", "")}
+    out = tmp_path / "shards"
+    cmd = [sys.executable, "-m", "gfftoneo4j_ray.pipelines.cli",
+           "--corpus-export",
+           "--input", "/root/testdata/sf0.001/documents.parquet",
+           "--output", str(out), "--shards", "5", "--seed", "3",
+           "--n-merges", "10", "--budget-tokens", "512"]
+    r = subprocess.run(cmd, env=env, capture_output=True, text=True,
+                       timeout=600, cwd=REPO)
+    assert r.returncode == 0, f"stderr tail: {r.stderr[-3000:]}"
+    res = json.loads(r.stdout.strip().splitlines()[-1])
+    assert res["ray_address"] == gcs
+    assert res["n_exported"] > 0 and res["num_shards"] == 5
+
+    import pyarrow.parquet as pq
+
+    files = sorted(os.listdir(out))
+    assert files == [f"shard-{b:05d}.parquet" for b in range(5)]
+    total = sum(pq.read_metadata(os.path.join(out, f)).num_rows
+                for f in files)
+    assert total == res["n_exported"]
