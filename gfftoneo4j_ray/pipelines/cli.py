@@ -61,6 +61,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="token budget per packed sequence")
     ce.add_argument("--n-merges", type=int, default=40,
                     help="BPE merges to train for token counting")
+    ce.add_argument("--merges", default=None, metavar="PARQUET",
+                    help="tokenizer merge-table parquet: loaded if it "
+                         "exists (skips training — the rolling-crawl "
+                         "shape), written after training otherwise")
     return p
 
 
@@ -93,7 +97,7 @@ def main(argv=None) -> int:
         res = run_corpus_export(
             ds, args.output, n_merges=args.n_merges,
             budget_tokens=args.budget_tokens, seed=args.seed,
-            num_shards=args.shards)
+            num_shards=args.shards, merges_path=args.merges)
         res["ray_address"] = ray.get_runtime_context().gcs_address
         print(json.dumps(res))
         ray.shutdown()

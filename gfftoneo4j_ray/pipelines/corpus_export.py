@@ -41,12 +41,22 @@ def run_corpus_export(docs_ds, out_dir: str, *, n_merges: int = 40,
                       budget_tokens: int = 2048, seed: int = 0,
                       num_shards: int = 16, id_col: str = "doc_id",
                       text_col: str = "text", pack_buckets: int = 32,
-                      join_buckets: int = 32) -> dict:
+                      join_buckets: int = 32,
+                      merges_path: str | None = None) -> dict:
     """Run the five-stage corpus export over ``docs_ds`` (columns
     ``id_col``, ``text_col``); writes ``shard-{i:05d}.parquet`` files
     of (pack_id, doc_id, n_tokens, text) under ``out_dir`` in seeded
-    pack-shuffle order and returns a summary dict."""
+    pack-shuffle order and returns a summary dict.
+
+    ``merges_path``: path to a MERGES_SCHEMA parquet. If it exists the
+    tokenizer is LOADED from it and training is skipped (the rolling-
+    crawl shape: train once on a reference dump, encode every later
+    dump under the same vocabulary so token budgets stay comparable);
+    otherwise the freshly trained table is saved there."""
+    import os
+
     import pyarrow as pa
+    import pyarrow.parquet as pq
 
     from ..ops.analytics import pack_sequences, quality_gate_stats
     from ..ops.export import shuffle_export
@@ -71,7 +81,16 @@ def run_corpus_export(docs_ds, out_dir: str, *, n_merges: int = 40,
                      left_schema=gated_schema,
                      right_schema=pa.schema([(id_col, pa.int64())]))
 
-    merges = train_bpe(kept, text_col=text_col, n_merges=n_merges)
+    if merges_path is not None and os.path.exists(merges_path):
+        merges = pq.read_table(merges_path)
+        trained = False
+    else:
+        merges = train_bpe(kept, text_col=text_col, n_merges=n_merges)
+        trained = True
+        if merges_path is not None:
+            tmp = merges_path + f".tmp-{os.getpid()}"
+            pq.write_table(merges, tmp)
+            os.replace(tmp, merges_path)
     counts = encode_corpus(kept, merges, text_col=text_col,
                            id_col=id_col)
     packs = pack_sequences(counts, budget_tokens=budget_tokens,
@@ -94,6 +113,7 @@ def run_corpus_export(docs_ds, out_dir: str, *, n_merges: int = 40,
         "num_shards": num_shards,
         "n_exported": n_rows,
         "n_merges": merges.num_rows,
+        "tokenizer_trained": trained,
         "seed": seed,
         "budget_tokens": budget_tokens,
     }

@@ -123,3 +123,36 @@ def test_corpus_export_deterministic_across_partitioning(ray_session,
             pack_buckets=8, join_buckets=8)
         outs.append(_read_shards(d)[0])
     assert outs[0].equals(outs[1])
+
+
+def test_corpus_export_tokenizer_reuse(ray_session, tmp_path):
+    """merges_path: first run trains and saves; second run over a
+    DIFFERENT dump loads the same vocabulary (no retraining) and its
+    token counts come from the saved merges, not a fresh training."""
+    import ray
+
+    docs = _input_docs()
+    mp = str(tmp_path / "tokenizer.parquet")
+    s1 = run_corpus_export(
+        ray.data.from_arrow(docs), str(tmp_path / "d1"), n_merges=25,
+        budget_tokens=_BUDGET, seed=1, num_shards=3, pack_buckets=8,
+        join_buckets=8, merges_path=mp)
+    assert s1["tokenizer_trained"] and s1["n_merges"] == 25
+    assert os.path.exists(mp)
+    saved = pq.read_table(mp)
+
+    dump2 = docs.slice(0, 200)
+    s2 = run_corpus_export(
+        ray.data.from_arrow(dump2), str(tmp_path / "d2"), n_merges=99,
+        budget_tokens=_BUDGET, seed=1, num_shards=3, pack_buckets=8,
+        join_buckets=8, merges_path=mp)
+    assert not s2["tokenizer_trained"]
+    assert s2["n_merges"] == 25  # loaded, n_merges=99 ignored
+    got, _ = _read_shards(str(tmp_path / "d2"))
+    merges = [(r["rank"], r["left"], r["right"]) for r in saved.to_pylist()]
+    tok = re.compile(r"[\w'-]+")
+    kept2 = _expected_kept(dump2)
+    for i, n in zip(got["doc_id"].to_pylist(), got["n_tokens"].to_pylist()):
+        want = sum(len(bpe_replay_segment(w, merges))
+                   for w in tok.findall(kept2[i].lower()))
+        assert n == want
